@@ -1,0 +1,366 @@
+"""Distributed inverted-index build — segmented, compressed, checkpointed.
+
+Dataflow (all DataFrame/Arrow; reference semantics cited per stage):
+
+  transcripts (conv_id, turn_idx, role, text, tool, ts)
+    → per-conversation doc assembly: turn texts sorted by turn_idx, each
+      truncated to 10,000 chars (LuceneIndexAkka.scala:282-283), space-joined
+      into ONE catenated searchable text (the `_indexed_` equivalent,
+      LuceneIndexAkka.scala:295); rerank source = DISTINCT turn texts in
+      first-occurrence order (getCommonNGrams docSet, SimDocsSearch.scala:513-518)
+    → deterministic dense docID = global rank of conv_id (range partition +
+      per-partition offsets; no single-partition window)
+    → doc segment = docID // seg_size  ("Lucene segment" equivalent: the unit
+      of DAAT scoring, checkpointing and skew defusal — a term's postings
+      WITHIN a segment are bounded by seg_size, so the groupBy(seg, term)
+      shuffle key structurally spreads hot terms across reducers)
+    → tokenize (vectorized UDF) → explode → groupBy(seg, term) →
+      docID-sorted arrays → delta+FOR blob + block-max metadata (codec.py)
+    → per-segment-batch Iceberg-style commits with lineage rows
+      (rows/bytes/status) enabling resume without recomputation
+
+Index layout under <root>/ (parquet; an Iceberg catalog would swap in behind
+the same paths — the runtime jar is absent in this sandbox):
+  docs/       doc_id, conv_id, seg, db, instance, update_date, dl, dlq,
+              tfnorm, rerank_tokens              (repartitioned by seg)
+  postings/   seg, term, df_seg, blob, block_last, block_max
+              (one partition per seg batch, sorted by term → parquet
+              row-group min/max stats prune non-query terms at scan)
+  terms/      term, df, idf                       (global term stats)
+  stats/      n_docs, sum_dl, avgdl
+  meta_stats/ field, value, df                    (db/instance keyword stats)
+  lineage/    phase, seg, rows, bytes, status
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import bm25
+from ..functions.tokenize import rerank_tokens as rerank_tokens_udf
+from ..functions.tokenize import tokenize as tokenize_udf
+from . import codec
+
+TRUNCATE_CHARS = 10_000
+DEFAULT_SEG_SIZE = 1 << 20
+
+
+@dataclass
+class IndexPaths:
+    root: str
+
+    @property
+    def docs(self) -> str:
+        return os.path.join(self.root, "docs")
+
+    @property
+    def postings(self) -> str:
+        return os.path.join(self.root, "postings")
+
+    @property
+    def terms(self) -> str:
+        return os.path.join(self.root, "terms")
+
+    @property
+    def stats(self) -> str:
+        return os.path.join(self.root, "stats")
+
+    @property
+    def meta_stats(self) -> str:
+        return os.path.join(self.root, "meta_stats")
+
+    @property
+    def lineage(self) -> str:
+        return os.path.join(self.root, "lineage")
+
+
+@pandas_udf(T.LongType())
+def _quantize_udf(dl: pd.Series) -> pd.Series:
+    return pd.Series(bm25.quantize_dl_np(dl.to_numpy()))
+
+
+_ENCODE_RET = T.StructType(
+    [
+        T.StructField("blob", T.BinaryType()),
+        T.StructField("block_last", T.ArrayType(T.LongType())),
+        T.StructField("block_max", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+@pandas_udf(_ENCODE_RET)
+def _encode_udf(doc_ids: pd.Series, tfnorms: pd.Series) -> pd.DataFrame:
+    blobs, lasts, maxes = [], [], []
+    for ids, tfs in zip(doc_ids, tfnorms):
+        ids = np.asarray(ids, dtype=np.int64)
+        tfs = np.asarray(tfs, dtype=np.float32)
+        blobs.append(codec.encode_docids(ids))
+        bl, bm = codec.block_metadata(ids, tfs)
+        lasts.append(bl)
+        maxes.append(bm)
+    return pd.DataFrame({"blob": blobs, "block_last": lasts, "block_max": maxes})
+
+
+def assemble_docs(transcripts: DataFrame, docs_meta: DataFrame | None = None) -> DataFrame:
+    """transcripts → one row per conversation with catenated text, rerank
+    source, and categorical metadata. No docID yet."""
+    per_turn = transcripts.select(
+        "conv_id",
+        "turn_idx",
+        F.substring("text", 1, TRUNCATE_CHARS).alias("turn_text"),
+        "ts",
+    )
+    docs = per_turn.groupBy("conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("turn_idx", "turn_text"))).alias("turns"),
+        F.max("ts").alias("max_ts"),
+        F.count("*").alias("n_turns"),
+    )
+    docs = docs.select(
+        "conv_id",
+        F.concat_ws(" ", F.transform("turns", lambda x: x.turn_text)).alias("text"),
+        F.concat_ws(
+            " ", F.array_distinct(F.transform("turns", lambda x: x.turn_text))
+        ).alias("rerank_source"),
+        "max_ts",
+        "n_turns",
+    )
+    if docs_meta is not None:
+        docs = docs.join(F.broadcast(docs_meta), "conv_id", "left")
+    else:
+        docs = docs.withColumn("db", F.lit(None).cast("string")).withColumn(
+            "instance", F.lit(None).cast("string")
+        )
+        docs = docs.withColumn("update_date", F.date_format("max_ts", "yyyyMMdd"))
+    return docs
+
+
+def assign_doc_ids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Deterministic dense docID = global rank of conv_id, computed scalably:
+    range-repartition on conv_id, local sort, per-partition row counts →
+    cumulative offsets (driver; one tiny collect), offset + local row_number.
+    The result is independent of partition boundary placement, so it is
+    reproducible across cluster sizes."""
+    n_part = partitions or docs.sparkSession.sparkContext.defaultParallelism
+    ranged = docs.repartitionByRange(n_part, "conv_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    offsets_df = F.broadcast(
+        docs.sparkSession.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy("conv_id")
+    out = (
+        ranged.join(offsets_df, "_pid")
+        .withColumn("doc_id", F.row_number().over(w) - 1 + F.col("_offset"))
+        .drop("_pid", "_offset")
+    )
+    return out
+
+
+def tokenize_docs(docs: DataFrame) -> DataFrame:
+    return (
+        docs.withColumn("tokens", tokenize_udf(F.col("text")))
+        .withColumn("rr_tokens", rerank_tokens_udf(F.col("rerank_source")))
+        .withColumn("dl", F.size("tokens").cast("long"))
+        .withColumn("dlq", _quantize_udf(F.col("dl")))
+    )
+
+
+def build_index(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    docs_meta: DataFrame | None = None,
+    seg_size: int = DEFAULT_SEG_SIZE,
+    seg_batches: int = 1,
+    resume: bool = False,
+) -> IndexPaths:
+    """Full index build. With seg_batches > 1, postings are committed in
+    per-segment-range batches with lineage rows; `resume=True` skips batches
+    already marked done (checkpoint/restart without recomputation)."""
+    paths = IndexPaths(root)
+    os.makedirs(root, exist_ok=True)
+
+    done_docs = resume and _phase_done(spark, paths, "docs")
+    if not done_docs:
+        docs = tokenize_docs(assemble_docs(transcripts, docs_meta))
+        docs = assign_doc_ids(docs)
+        docs = docs.withColumn("seg", (F.col("doc_id") / F.lit(seg_size)).cast("long"))
+
+        # corpus stats first (needed for tfnorm); single tiny collect
+        stats = docs.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
+        avgdl = float(sum_dl) / max(1, n_docs)
+        spark.createDataFrame(
+            [(n_docs, int(sum_dl), avgdl)], "n_docs long, sum_dl long, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+
+        docs = docs.withColumn(
+            "tfnorm",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.lit(bm25.K1)
+                    * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("dlq") / F.lit(avgdl))
+                )
+            ).cast("float"),
+        )
+        (
+            docs.select(
+                "doc_id", "conv_id", "seg", "db", "instance", "update_date",
+                "dl", "dlq", "tfnorm", F.col("rr_tokens").alias("rerank_tokens"),
+                "tokens",
+            )
+            .repartition("seg")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(paths.docs)
+        )
+        _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
+
+        # meta keyword stats (db / instance document frequencies)
+        docs_w = spark.read.parquet(paths.docs)
+        meta = (
+            docs_w.filter(F.col("db").isNotNull())
+            .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
+            .agg(F.count("*").alias("df"))
+            .unionByName(
+                docs_w.filter(F.col("instance").isNotNull())
+                .groupBy(F.lit("instance").alias("field"), F.col("instance").alias("value"))
+                .agg(F.count("*").alias("df"))
+            )
+        )
+        meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+
+    build_postings(spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume)
+    build_terms(spark, paths)
+    return paths
+
+
+def build_postings(
+    spark: SparkSession,
+    paths: IndexPaths,
+    seg_size: int = DEFAULT_SEG_SIZE,
+    seg_batches: int = 1,
+    resume: bool = False,
+) -> None:
+    """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
+    block-max metadata. Committed in seg batches (resume skips done ones)."""
+    docs = spark.read.parquet(paths.docs)
+    segs = sorted(r["seg"] for r in docs.select("seg").distinct().collect())
+    batches = [segs[i::seg_batches] for i in range(seg_batches)]
+    done: set[int] = set()
+    if resume:
+        done = _done_segs(spark, paths, "postings")
+
+    for i, batch in enumerate(batches):
+        todo = [s for s in batch if s not in done]
+        if not todo:
+            continue
+        # each batch commits to its own batch=<i> subdir with overwrite →
+        # a crash mid-batch (write done, lineage not yet logged) is repaired
+        # idempotently on resume instead of duplicating rows on append
+        batch_path = os.path.join(paths.postings, f"batch={i}")
+        d = docs.filter(F.col("seg").isin([int(s) for s in batch]))
+        exploded = d.select("seg", "doc_id", "tfnorm", F.explode("tokens").alias("term"))
+        grouped = exploded.groupBy("seg", "term").agg(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tfnorm"))).alias("plist")
+        )
+        encoded = grouped.select(
+            "seg",
+            "term",
+            F.size("plist").cast("long").alias("df_seg"),
+            _encode_udf(
+                F.transform("plist", lambda x: x.doc_id),
+                F.transform("plist", lambda x: x.tfnorm),
+            ).alias("enc"),
+        ).select("seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_max")
+        (
+            encoded.repartition("seg")
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .parquet(batch_path)
+        )
+        rows_by_seg = {
+            r["seg"]: r["cnt"]
+            for r in spark.read.parquet(batch_path)
+            .groupBy("seg")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
+        _log_lineage(
+            spark,
+            paths,
+            [
+                ("postings", int(s), int(rows_by_seg.get(s, 0)), _dir_bytes(batch_path), "done")
+                for s in batch
+            ],
+        )
+
+
+def build_terms(spark: SparkSession, paths: IndexPaths) -> None:
+    """Global term stats: df = Σ per-segment df (two-phase agg: the partial
+    per-(seg,term) counts already exist → map-side combine into global)."""
+    n_docs = spark.read.parquet(paths.stats).collect()[0]["n_docs"]
+    postings = spark.read.parquet(paths.postings)
+    terms = postings.groupBy("term").agg(F.sum("df_seg").alias("df"))
+    terms = terms.withColumn(
+        "idf",
+        F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).cast("float"),
+    )
+    terms.write.mode("overwrite").parquet(paths.terms)
+
+
+# ------------------------------------------------------------------- lineage
+
+
+def _log_lineage(spark: SparkSession, paths: IndexPaths, rows: list[tuple]) -> None:
+    df = spark.createDataFrame(
+        rows, "phase string, seg long, rows long, bytes long, status string"
+    )
+    mode = "append" if os.path.exists(paths.lineage) else "overwrite"
+    df.coalesce(1).write.mode(mode).parquet(paths.lineage)
+
+
+def _phase_done(spark: SparkSession, paths: IndexPaths, phase: str) -> bool:
+    if not os.path.exists(paths.lineage):
+        return False
+    df = spark.read.parquet(paths.lineage)
+    return df.filter((F.col("phase") == phase) & (F.col("status") == "done")).count() > 0
+
+
+def _done_segs(spark: SparkSession, paths: IndexPaths, phase: str) -> set[int]:
+    if not os.path.exists(paths.lineage):
+        return set()
+    df = spark.read.parquet(paths.lineage)
+    return {
+        r["seg"]
+        for r in df.filter((F.col("phase") == phase) & (F.col("status") == "done"))
+        .select("seg")
+        .collect()
+    }
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for dirpath, _, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(dirpath, f))
+    return total

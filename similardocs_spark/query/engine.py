@@ -1,0 +1,258 @@
+"""BM25 top-k query engine over the segmented index.
+
+Two scoring paths with identical results:
+- `score_bucket(..., use_wand=False)` — declarative DataFrame plan: broadcast
+  the (tiny) query-term table against the postings scan (term pruned via
+  parquet min/max row-group stats thanks to the term-sorted layout), decode
+  blobs with a vectorized UDF, aggregate per docID, join doc stats for
+  filters + tfnorm, distributed top-(150·k) via orderBy+limit
+  (TakeOrderedAndProject — no global sort).
+- `use_wand=True` — per-segment DAAT traversal with block-max WAND pruning and
+  bounded per-partition heaps merged via treeReduce (query/wand.py). This is
+  the 100-TB path: per-executor work is one segment's postings for the query
+  terms only, score accumulation never leaves the executor, and only
+  ≤ heap_size rows per segment cross the wire.
+
+Query lifecycle (reference SimDocsSearch.scala:122-347): text → word prep →
+term weights (duplicate-prefix boosts) → per-day-bucket retrieval (optional
+ladder recursion with shrinking k) → MUST-clause score constants → candidate
+pool 150·k by (score desc, docID asc) → overlap rerank vs adaptive threshold →
+(n_common desc, update_date desc) → take k.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import date
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .. import bm25
+from ..index.build import IndexPaths
+from ..index import codec
+from ..oracle.refsearch import (
+    CANDIDATE_FACTOR,
+    DEFAULT_MAX_DOCS,
+    DEFAULT_MIN_NGRAMS,
+    MAX_LOWER_LIMIT,
+    days_ago_str,
+    get_day_range,
+    get_min_ngrams,
+)
+from ..textnorm import query_rerank_tokens, query_terms, uniform_text
+
+
+@pandas_udf(T.ArrayType(T.LongType()))
+def _decode_udf(blobs: pd.Series) -> pd.Series:
+    return blobs.map(lambda b: codec.decode_docids(bytes(b)).tolist())
+
+
+@dataclass
+class SearchEngine:
+    """Loaded index handle + pinned clock (the reference derives its date
+    anchor from the Solr server's lastModified at startup; we pin it —
+    SimDocsSearch.scala:52-58)."""
+
+    spark: SparkSession
+    paths: IndexPaths
+    today: date
+    end_days_ago: int = 7
+
+    def __post_init__(self) -> None:
+        row = self.spark.read.parquet(self.paths.stats).collect()[0]
+        self.n_docs: int = row["n_docs"]
+        self.avgdl: float = row["avgdl"]
+        self.meta_df: dict[tuple[str, str], int] = {
+            (r["field"], r["value"]): r["df"]
+            for r in self.spark.read.parquet(self.paths.meta_stats).collect()
+        }
+        self._docs = self.spark.read.parquet(self.paths.docs)
+        self._postings = self.spark.read.parquet(self.paths.postings)
+        self._terms = self.spark.read.parquet(self.paths.terms)
+
+    # ------------------------------------------------------------ query prep
+
+    def prepare(self, text: str) -> tuple[dict[str, float], list[str]] | None:
+        """→ (term → float32 weight·idf, query rerank tokens) or None if the
+        normalized query is empty."""
+        words = uniform_text(text)
+        if not words:
+            return None
+        text2 = " ".join(words)
+        weights = query_terms(text2)
+        dfs = {
+            r["term"]: r["df"]
+            for r in self._terms.filter(F.col("term").isin(list(weights))).collect()
+        }
+        w_idf = {
+            t: float(np.float32(np.float32(w) * bm25.idf(dfs[t], self.n_docs)))
+            for t, w in weights.items()
+            if t in dfs
+        }
+        return w_idf, query_rerank_tokens(text2)
+
+    def _const_for(self, sources: set[str] | None, instances: set[str] | None):
+        """MUST-clause constant score pieces: date range always +1.0; keyword
+        filters add a per-value constant → returned as a Column expression."""
+        const = F.lit(float(bm25.DATE_RANGE_CONST)).cast("double")
+        for fld, values, col in (
+            ("db", sources, "db"),
+            ("instance", instances, "instance"),
+        ):
+            if values is not None:
+                mapping = F.lit(0.0)
+                for v in sorted(values):
+                    df = self.meta_df.get((fld, v), 0)
+                    c = float(bm25.keyword_clause_score(df, self.n_docs)) if df else 0.0
+                    mapping = F.when(F.col(col) == v, F.lit(c)).otherwise(mapping)
+                const = const + mapping.cast("double")
+        return const
+
+    # -------------------------------------------------------- bucket scoring
+
+    def score_bucket(
+        self,
+        w_idf: dict[str, float],
+        from_str: str,
+        to_str: str,
+        pool: int,
+        sources: set[str] | None,
+        instances: set[str] | None,
+        use_wand: bool = False,
+    ) -> DataFrame:
+        """Top-`pool` candidates (doc_id, score f32) within a date bucket."""
+        if use_wand:
+            from .wand import wand_score_bucket
+
+            return wand_score_bucket(
+                self, w_idf, from_str, to_str, pool, sources, instances
+            )
+
+        spark = self.spark
+        qterms = F.broadcast(
+            spark.createDataFrame(
+                [(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double"
+            )
+        )
+        matched = (
+            self._postings.join(qterms, "term")
+            .select("w_idf", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
+        )
+        docs = self._docs.filter(F.col("update_date").between(from_str, to_str))
+        if sources is not None:
+            docs = docs.filter(F.col("db").isin(sorted(sources)))
+        if instances is not None:
+            docs = docs.filter(F.col("instance").isin(sorted(instances)))
+        # per-term float32 product, float64 sum, + consts, final float32 (spec)
+        scored = (
+            matched.join(docs.select("doc_id", "tfnorm", "db", "instance"), "doc_id")
+            .withColumn(
+                "term_score",
+                (F.col("w_idf").cast("float") * F.col("tfnorm")).cast("float"),
+            )
+            .groupBy("doc_id", "db", "instance")
+            .agg(F.sum(F.col("term_score").cast("double")).alias("sum_scores"))
+            .withColumn(
+                "score", (F.col("sum_scores") + self._const_for(sources, instances)).cast("float")
+            )
+            .select("doc_id", "score")
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(pool)
+
+    # ------------------------------------------------------------ one bucket
+
+    def _bucket_hits(
+        self,
+        w_idf: dict[str, float],
+        q_rerank: list[str],
+        min_ngrams: int,
+        max_docs: int,
+        sources: set[str] | None,
+        instances: set[str] | None,
+        from_str: str,
+        to_str: str,
+        use_wand: bool,
+    ) -> DataFrame:
+        min2 = get_min_ngrams(min_ngrams, len(q_rerank))
+        pool = CANDIDATE_FACTOR * max_docs
+        cands = self.score_bucket(
+            w_idf, from_str, to_str, pool, sources, instances, use_wand
+        )
+        enriched = (
+            cands.join(
+                self._docs.select("doc_id", "conv_id", "update_date", "rerank_tokens"),
+                "doc_id",
+            )
+            .withColumn(
+                "n_common",
+                F.size(
+                    F.array_intersect(
+                        F.col("rerank_tokens"),
+                        F.array(*[F.lit(t) for t in q_rerank]),
+                    )
+                ),
+            )
+            .filter(F.col("n_common") >= min2)
+        )
+        return (
+            enriched.orderBy(
+                F.desc("n_common"), F.desc("update_date"), F.desc("score"), F.asc("doc_id")
+            )
+            .limit(max_docs)
+            .select("doc_id", "conv_id", "score", "n_common", "update_date")
+        )
+
+    # ------------------------------------------------------------ entrypoint
+
+    def search(
+        self,
+        text: str,
+        max_docs: int = DEFAULT_MAX_DOCS,
+        min_ngrams: int = DEFAULT_MIN_NGRAMS,
+        sources: set[str] | None = None,
+        instances: set[str] | None = None,
+        last_days: int | None = None,
+        split_time: bool = False,
+        use_wand: bool = False,
+    ) -> list:
+        """Full reference search; returns collected rows (driver-side result,
+        like the reference servlet). Each row: doc_id, conv_id, score,
+        n_common, update_date."""
+        prep = self.prepare(text)
+        if prep is None:
+            return []
+        w_idf, q_rerank = prep
+        if not w_idf:
+            return []
+        lower = last_days if last_days else MAX_LOWER_LIMIT
+        assert lower >= self.end_days_ago
+        upper = self.end_days_ago
+
+        if not split_time:
+            return self._bucket_hits(
+                w_idf, q_rerank, min_ngrams, max_docs, sources, instances,
+                days_ago_str(self.today, lower), days_ago_str(self.today, upper),
+                use_wand,
+            ).collect()
+
+        hits: list = []
+        cur_day = self.end_days_ago
+        remaining = max_docs
+        while remaining > 0:
+            rng = get_day_range(cur_day, lower, upper)
+            if rng is None:
+                break
+            begin, end = rng
+            got = self._bucket_hits(
+                w_idf, q_rerank, min_ngrams, remaining, sources, instances,
+                days_ago_str(self.today, begin), days_ago_str(self.today, end),
+                use_wand,
+            ).collect()
+            hits.extend(got)
+            remaining -= len(got)
+            cur_day = begin + 1
+        return hits
