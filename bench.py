@@ -1,0 +1,146 @@
+"""Benchmark harness (driver contract): prints ONE JSON line.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+  - index_build_sec: full inverted-index build over transcripts synthesized
+    deterministically from the documents table (each doc → multi-turn conv)
+  - per-query wall time for the driver-contract queries (q_* from
+    __spark_entry__) plus the flagship adhoc searches through the built index
+    (naive + WAND paths)
+  - query_qps: throughput over the search query set
+
+Usage: python bench.py            (also honors SPARK_GRAFT_WAND=0/1)
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# corpus-derived bag-of-words search queries (the driver corpus is TPC-H-ish
+# word soup; the reference biomedical profile sentences would match nothing)
+SEARCH_QUERIES = {
+    "s1": "key value table scan merge batch",
+    "s2": "window spark order data column",
+    "s3": "customer query line sort stream",
+    "s4": "hash group filter vector big small",
+    "s5": "row fast slow part agg join",
+    "s6": "the a and data table scan",
+    "s7": "stream window batch merge sort filter group",
+    "s8": "spark column vector",
+    "s9": "query plan cost stats part",
+}
+
+
+def synth_transcripts(spark, sf_dir: str):
+    """documents → multi-turn transcripts (deterministic): split each doc's
+    text into ≤6 turns of ~12 words; conv_id from doc_id; ts spread from a
+    pinned anchor by doc_id."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    words = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("w"), F.col("source")
+    )
+    turns = words.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.least(F.lit(5), (F.size("w") / 12).cast("int"))),
+                lambda i: F.concat_ws(" ", F.slice("w", i * 12 + 1, 12)),
+            )
+        ).alias("turn_idx", "text"),
+    ).filter(F.length("text") > 0)
+    return turns.select(
+        F.format_string("conv%08d", F.col("doc_id")).alias("conv_id"),
+        F.col("turn_idx").cast("int"),
+        F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        "text",
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+            + F.make_interval(days=(F.col("doc_id") % 900).cast("int"))
+        ).alias("ts"),
+    )
+
+
+def main() -> None:
+    t_session = time.time()
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("similardocs-bench")
+        .config("spark.sql.shuffle.partitions", str(max(CPUS, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    session_sec = time.time() - t_session
+
+    import __spark_entry__ as entry
+    from datetime import date
+
+    from similardocs_spark.index.build import build_index
+    from similardocs_spark.query.engine import SearchEngine
+
+    timings: dict[str, float] = {}
+
+    # 1. index build over synthesized transcripts
+    tdf = synth_transcripts(spark, SF_DIR)
+    with tempfile.TemporaryDirectory() as idx_root:
+        t0 = time.time()
+        paths = build_index(spark, tdf, idx_root, seg_size=1 << 14)
+        build_sec = time.time() - t0
+        timings["index_build"] = round(build_sec, 3)
+
+        engine = SearchEngine(spark, paths, today=date(2028, 1, 1), end_days_ago=7)
+
+        # 2. search throughput (naive path then WAND path)
+        for tag, use_wand in (("search", False), ("wand", True)):
+            t0 = time.time()
+            n = 0
+            for qname, qtext in SEARCH_QUERIES.items():
+                hits = engine.search(qtext, use_wand=use_wand)
+                n += len(hits)
+            dt = time.time() - t0
+            timings[f"{tag}_set"] = round(dt, 3)
+            timings[f"{tag}_qps"] = round(len(SEARCH_QUERIES) / dt, 3)
+
+    # 3. driver-contract queries
+    total_q = 0.0
+    for name, fn in entry.queries().items():
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        df.collect()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total_q += dt
+
+    out = {
+        "metric": "similardocs_bench_total",
+        "value": round(total_q + timings["search_set"] + timings["index_build"], 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "query_qps": timings.get("search_qps"),
+        "wand_qps": timings.get("wand_qps"),
+        "session_startup_sec": round(session_sec, 3),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

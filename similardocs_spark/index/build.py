@@ -208,7 +208,8 @@ def build_index(
         n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
         avgdl = float(sum_dl) / max(1, n_docs)
         spark.createDataFrame(
-            [(n_docs, int(sum_dl), avgdl)], "n_docs long, sum_dl long, avgdl double"
+            [(n_docs, int(sum_dl), avgdl, seg_size)],
+            "n_docs long, sum_dl long, avgdl double, seg_size long",
         ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
         docs = docs.withColumn(

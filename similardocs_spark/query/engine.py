@@ -66,6 +66,7 @@ class SearchEngine:
         row = self.spark.read.parquet(self.paths.stats).collect()[0]
         self.n_docs: int = row["n_docs"]
         self.avgdl: float = row["avgdl"]
+        self.seg_size: int = row["seg_size"]
         self.meta_df: dict[tuple[str, str], int] = {
             (r["field"], r["value"]): r["df"]
             for r in self.spark.read.parquet(self.paths.meta_stats).collect()

@@ -128,8 +128,10 @@ def wand_kernel(
     for win in order:
         if ub[win] == -np.inf:
             break
-        if len(heap) >= pool and ub[win] <= theta():
+        if len(heap) >= pool and ub[win] < theta():
             break  # block-max skip: nothing below can enter the top-k
+            # (strict <: a doc scoring exactly theta with a smaller docID
+            # would still outrank on the (score desc, docID asc) tiebreak)
         lo, hi = win * WINDOW, min((win + 1) * WINDOW, n_local)
         acc[:] = 0.0
         matched[:] = False
@@ -166,7 +168,7 @@ def topk_treereduce(df: DataFrame, k: int) -> list:
     """Global top-k via per-partition bounded heaps merged with treeReduce
     (north_rule); rows ordered (score desc, doc_id asc)."""
 
-    def part_heap(rows: Iterable) -> list[list[tuple[float, int]]]:
+    def part_heap(rows: Iterable) -> list[tuple[float, int]]:
         heap: list[tuple[float, int]] = []
         for r in rows:
             item = (float(r["score"]), -int(r["doc_id"]))
@@ -174,22 +176,21 @@ def topk_treereduce(df: DataFrame, k: int) -> list:
                 heapq.heappush(heap, item)
             elif item > heap[0]:
                 heapq.heapreplace(heap, item)
-        return [heap]
+        return heap
 
-    def merge(a: list, b: list) -> list:
-        heap = a[0]
-        for item in b[0]:
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
-        return [heap]
+    def merge(a: list[tuple[float, int]], b: list[tuple[float, int]]) -> list:
+        for item in b:
+            if len(a) < k:
+                heapq.heappush(a, item)
+            elif item > a[0]:
+                heapq.heapreplace(a, item)
+        return a
 
-    rdd = df.rdd.mapPartitions(lambda it: [part_heap(it)[0]]).map(lambda h: [h])
+    rdd = df.rdd.mapPartitions(lambda it: [part_heap(it)])
     if rdd.isEmpty():
         return []
     merged = rdd.treeReduce(merge)
-    return sorted(((s, -d) for s, d in merged[0]), key=lambda t: (-t[0], t[1]))
+    return sorted(((s, -d) for s, d in merged), key=lambda t: (-t[0], t[1]))
 
 
 def wand_score_bucket(
