@@ -24,7 +24,8 @@ from datetime import date, timedelta
 import numpy as np
 
 from .. import bm25
-from ..textnorm import analyze, query_rerank_tokens, query_terms, uniform_text
+from ..synonyms import SynonymDict, expanded_query_terms
+from ..textnorm import analyze, query_rerank_tokens, uniform_text
 
 TRUNCATE_CHARS = 10_000  # LuceneIndexAkka.scala:282-283
 CANDIDATE_FACTOR = 150  # SimDocsSearch.scala:301
@@ -148,10 +149,17 @@ class Hit:
 class OracleSearch:
     """Reference query engine over an OracleIndex."""
 
-    def __init__(self, index: OracleIndex, today: date, end_days_ago: int = 7):
+    def __init__(
+        self,
+        index: OracleIndex,
+        today: date,
+        end_days_ago: int = 7,
+        synonyms: SynonymDict | None = None,
+    ):
         self.idx = index
         self.today = today
         self.end_days_ago = end_days_ago  # reference: days since iahx lastModified + excludeDays
+        self.synonyms = synonyms
 
     # ---------------------------------------------------------------- scoring
 
@@ -241,7 +249,7 @@ class OracleSearch:
         if not words:
             return []
         text2 = " ".join(words)
-        weights = query_terms(text2)
+        weights = expanded_query_terms(text2, self.synonyms)
         q_rerank = frozenset(query_rerank_tokens(text2))
         lower = last_days if last_days else MAX_LOWER_LIMIT
         assert lower >= self.end_days_ago

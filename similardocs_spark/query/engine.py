@@ -43,7 +43,8 @@ from ..oracle.refsearch import (
     get_day_range,
     get_min_ngrams,
 )
-from ..textnorm import query_rerank_tokens, query_terms, uniform_text
+from ..synonyms import SynonymDict, expanded_query_terms
+from ..textnorm import query_rerank_tokens, uniform_text
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
@@ -61,6 +62,7 @@ class SearchEngine:
     paths: IndexPaths
     today: date
     end_days_ago: int = 7
+    synonyms: SynonymDict | None = None
 
     def __post_init__(self) -> None:
         row = self.spark.read.parquet(self.paths.stats).collect()[0]
@@ -84,7 +86,7 @@ class SearchEngine:
         if not words:
             return None
         text2 = " ".join(words)
-        weights = query_terms(text2)
+        weights = expanded_query_terms(text2, self.synonyms)
         dfs = {
             r["term"]: r["df"]
             for r in self._terms.filter(F.col("term").isin(list(weights))).collect()
