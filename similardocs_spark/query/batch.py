@@ -1,0 +1,205 @@
+"""Batched similarity search: N queries in ONE DataFrame plan.
+
+The reference serves one query per servlet request; on Spark the q/s story is
+amortization — scoring 1,000 queries costs barely more than one, because the
+postings scan, decode, joins and shuffles are shared:
+
+  qterms(query_id, term, w_idf)  [tiny, broadcast]
+    ⋈ postings (term-pruned scan, decoded ONCE per distinct term)
+    ⋈ doc stats (bucket/categorical filters pushed to the parquet scan)
+    → groupBy(query_id, doc_id) float32-spec scoring
+    → per-query candidate pool via ranked window (150·k)
+    → overlap rerank vs per-query token arrays → per-query top-k window
+
+All queries in a batch share the filter settings (sources/instances/last_days/
+split_time), like a profile-updater sweep does; the bucket ladder loops
+driver-side with per-query remaining quotas, exactly mirroring the reference
+recursion (SimDocsSearch.scala:185-211) per query.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..oracle.refsearch import (
+    CANDIDATE_FACTOR,
+    DEFAULT_MAX_DOCS,
+    DEFAULT_MIN_NGRAMS,
+    MAX_LOWER_LIMIT,
+    days_ago_str,
+    get_day_range,
+    get_min_ngrams,
+)
+
+
+def _prepare_batch(engine, queries: dict[str, str]) -> dict[str, dict]:
+    """Per-query prep with ONE terms-table lookup for the union of terms."""
+    import numpy as np
+
+    from .. import bm25
+    from ..synonyms import expanded_query_terms
+    from ..textnorm import query_rerank_tokens, uniform_text
+
+    raw: dict[str, dict] = {}
+    all_terms: set[str] = set()
+    for qid, text in queries.items():
+        words = uniform_text(text)
+        if not words:
+            continue
+        text2 = " ".join(words)
+        weights = expanded_query_terms(text2, engine.synonyms)
+        rr = query_rerank_tokens(text2)
+        raw[qid] = {"weights": weights, "rerank": rr}
+        all_terms.update(weights)
+    if not raw:
+        return {}
+    dfs = {
+        r["term"]: r["df"]
+        for r in engine._terms.filter(F.col("term").isin(sorted(all_terms))).collect()
+    }
+    out: dict[str, dict] = {}
+    for qid, info in raw.items():
+        w_idf = {
+            t: float(np.float32(np.float32(w) * bm25.idf(dfs[t], engine.n_docs)))
+            for t, w in info["weights"].items()
+            if t in dfs
+        }
+        if not w_idf:
+            continue
+        out[qid] = {"w_idf": w_idf, "rerank": info["rerank"]}
+    return out
+
+
+def _batch_bucket(
+    engine,
+    qinfo: dict[str, dict],
+    remaining: dict[str, int],
+    min_ngrams: int,
+    sources: set[str] | None,
+    instances: set[str] | None,
+    from_str: str,
+    to_str: str,
+) -> DataFrame:
+    spark = engine.spark
+    active = [q for q, k in remaining.items() if k > 0 and q in qinfo]
+    qterm_rows = [
+        (qid, t, w) for qid in active for t, w in sorted(qinfo[qid]["w_idf"].items())
+    ]
+    meta_rows = [
+        (
+            qid,
+            qinfo[qid]["rerank"],
+            get_min_ngrams(min_ngrams, len(qinfo[qid]["rerank"])),
+            remaining[qid],
+            CANDIDATE_FACTOR * remaining[qid],
+        )
+        for qid in active
+    ]
+    qterms = F.broadcast(
+        spark.createDataFrame(qterm_rows, "query_id string, term string, w_idf double")
+    )
+    qmeta = F.broadcast(
+        spark.createDataFrame(
+            meta_rows,
+            "query_id string, q_rerank array<string>, min2 int, k int, pool int",
+        )
+    )
+    terms_needed = sorted({t for _, t, _ in qterm_rows})
+    from .engine import _decode_udf
+
+    decoded = (
+        engine._postings.filter(F.col("term").isin(terms_needed))
+        .select("term", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
+    )
+    docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
+    if sources is not None:
+        docs = docs.filter(F.col("db").isin(sorted(sources)))
+    if instances is not None:
+        docs = docs.filter(F.col("instance").isin(sorted(instances)))
+
+    scored = (
+        decoded.join(qterms, "term")
+        .join(docs.select("doc_id", "tfnorm", "db", "instance"), "doc_id")
+        .withColumn(
+            "term_score", (F.col("w_idf").cast("float") * F.col("tfnorm")).cast("float")
+        )
+        .groupBy("query_id", "doc_id", "db", "instance")
+        .agg(F.sum(F.col("term_score").cast("double")).alias("s"))
+        .withColumn(
+            "score", (F.col("s") + engine._const_for(sources, instances)).cast("float")
+        )
+        .select("query_id", "doc_id", "score")
+    )
+    wc = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    cands = (
+        scored.withColumn("_r", F.row_number().over(wc))
+        .join(qmeta, "query_id")
+        .filter(F.col("_r") <= F.col("pool"))
+    )
+    enriched = (
+        cands.join(
+            engine._docs.select("doc_id", "conv_id", "update_date", "rerank_tokens"),
+            "doc_id",
+        )
+        .withColumn(
+            "n_common", F.size(F.array_intersect("rerank_tokens", "q_rerank"))
+        )
+        .filter(F.col("n_common") >= F.col("min2"))
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("n_common"), F.desc("update_date"), F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        enriched.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= F.col("k"))
+        .select("query_id", "rank", "doc_id", "conv_id", "score", "n_common", "update_date")
+    )
+
+
+def search_batch(
+    engine,
+    queries: dict[str, str],
+    max_docs: int = DEFAULT_MAX_DOCS,
+    min_ngrams: int = DEFAULT_MIN_NGRAMS,
+    sources: set[str] | None = None,
+    instances: set[str] | None = None,
+    last_days: int | None = None,
+    split_time: bool = False,
+) -> dict[str, list]:
+    """→ {query_id: [rows ordered by rank]}; per-query results identical to
+    engine.search(text, ...) with the same settings."""
+    qinfo = _prepare_batch(engine, queries)
+    results: dict[str, list] = {qid: [] for qid in queries}
+    if not qinfo:
+        return results
+    lower = last_days if last_days else MAX_LOWER_LIMIT
+    assert lower >= engine.end_days_ago
+    upper = engine.end_days_ago
+
+    if not split_time:
+        remaining = {qid: max_docs for qid in qinfo}
+        rows = _batch_bucket(
+            engine, qinfo, remaining, min_ngrams, sources, instances,
+            days_ago_str(engine.today, lower), days_ago_str(engine.today, upper),
+        ).collect()
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            results[r["query_id"]].append(r)
+        return results
+
+    # bucket ladder: all queries share the global ladder; per-query quotas
+    remaining = {qid: max_docs for qid in qinfo}
+    cur_day = engine.end_days_ago
+    while any(k > 0 for k in remaining.values()):
+        rng = get_day_range(cur_day, lower, upper)
+        if rng is None:
+            break
+        begin, end = rng
+        rows = _batch_bucket(
+            engine, qinfo, remaining, min_ngrams, sources, instances,
+            days_ago_str(engine.today, begin), days_ago_str(engine.today, end),
+        ).collect()
+        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+            results[r["query_id"]].append(r)
+            remaining[r["query_id"]] -= 1
+        cur_day = begin + 1
+    return results

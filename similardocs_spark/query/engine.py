@@ -211,6 +211,12 @@ class SearchEngine:
 
     # ------------------------------------------------------------ entrypoint
 
+    def search_batch(self, queries: dict[str, str], **kwargs) -> dict[str, list]:
+        """N queries in one DataFrame plan — see query/batch.py."""
+        from .batch import search_batch
+
+        return search_batch(self, queries, **kwargs)
+
     def search(
         self,
         text: str,

@@ -1,0 +1,60 @@
+"""Batch search parity: search_batch results == per-query oracle results."""
+from __future__ import annotations
+
+import pytest
+
+from similardocs_spark.fixtures import (
+    END_DAYS_AGO,
+    PINNED_TODAY,
+    REFERENCE_QUERIES,
+    docs_meta_for,
+    make_transcripts,
+    oracle_docs,
+    transcripts_df,
+)
+from similardocs_spark.index.build import build_index
+from similardocs_spark.oracle.refsearch import OracleIndex, OracleSearch
+from similardocs_spark.query.engine import SearchEngine
+from tests.test_engine_golden import assert_hits_equal
+
+N_CONVS = 100
+SEED = 42
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("batchindex"))
+    turns = make_transcripts(N_CONVS, seed=SEED)
+    meta = docs_meta_for(turns)
+    meta_df = spark.createDataFrame(
+        [(cid, m["db"], m["instance"], m["update_date"]) for cid, m in meta.items()],
+        "conv_id string, db string, instance string, update_date string",
+    )
+    tdf = transcripts_df(spark, n_convs=N_CONVS, seed=SEED)
+    paths = build_index(spark, tdf, root, docs_meta=meta_df, seg_size=32)
+    engine = SearchEngine(spark, paths, PINNED_TODAY, END_DAYS_AGO)
+    oracle = OracleSearch(
+        OracleIndex.build(oracle_docs(turns)), PINNED_TODAY, END_DAYS_AGO
+    )
+    return engine, oracle
+
+
+@pytest.mark.spark
+@pytest.mark.parametrize(
+    "mode",
+    [dict(), dict(split_time=True), dict(sources={"MEDLINE", "LILACS"}), dict(max_docs=20)],
+)
+def test_batch_matches_oracle(corpus, mode):
+    engine, oracle = corpus
+    res = engine.search_batch(dict(REFERENCE_QUERIES), **mode)
+    for qname, text in REFERENCE_QUERIES.items():
+        exp = oracle.search(text, **mode)
+        assert_hits_equal(res[qname], exp, f"batch {qname} {mode}")
+
+
+@pytest.mark.spark
+def test_batch_empty_queries(corpus):
+    engine, _ = corpus
+    res = engine.search_batch({"e1": "the and", "e2": "zika dengue"})
+    assert res["e1"] == []
+    assert len(res["e2"]) > 0
