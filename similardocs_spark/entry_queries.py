@@ -373,6 +373,8 @@ SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events
 """
 
 
+from .entry_queries_ops import OPS_QUERIES, OPS_SQL  # noqa: E402
+
 QUERIES = {
     "term_df": q_term_df,
     "doc_stats": q_doc_stats,
@@ -384,6 +386,7 @@ QUERIES = {
     "top_tokens_per_lang": q_top_tokens_per_lang,
     "round_robin": q_round_robin,
     "distinct_users": q_distinct_users,
+    **OPS_QUERIES,
 }
 
 SQL = {
@@ -397,4 +400,5 @@ SQL = {
     "top_tokens_per_lang": SQL_TOP_TOKENS_PER_LANG,
     "round_robin": SQL_ROUND_ROBIN,
     "distinct_users": SQL_DISTINCT_USERS,
+    **OPS_SQL,
 }

@@ -1,0 +1,391 @@
+"""Driver-contract pairs for the training-data operators (dedup, ANN,
+text analysis, multimodal plumbing). Same contract as entry_queries.py:
+cross-engine-stable hashing (md5), floats encoded as rounded BIGINTs.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import ann, dedup, multimodal, textstats
+from .oracle import sqlgen
+
+# ------------------------------------------------------------ 11. exact dedup
+
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.exact_dedup_stats(docs)
+
+
+SQL_EXACT_DEDUP = """
+WITH g AS (
+  SELECT md5(text) AS text_hash, COUNT(*) AS group_size, MIN(doc_id) AS keeper
+  FROM documents GROUP BY md5(text)
+)
+SELECT COUNT(*) AS n_groups, SUM(group_size) AS n_docs,
+       SUM(group_size) - COUNT(*) AS n_dups, MAX(group_size) AS max_group
+FROM g
+"""
+
+
+# ------------------------------------------------------- 12. minhash LSH pairs
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+
+
+def _sql_shingle_ctes() -> str:
+    """raw/pos/ranked/sh CTE bodies producing DISTINCT ordered 3-token
+    shingles per doc (mirrors operators.dedup.shingles)."""
+    return """
+raw AS (
+  SELECT doc_id, u.i AS i, w.l[u.i] AS t
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents) w,
+       UNNEST(generate_series(1, len(w.l))) u(i)
+),
+pos AS (
+  SELECT doc_id, substr(t, 1, 6) AS term, MIN(i) AS fpos
+  FROM raw WHERE len(t) >= 3 AND t NOT IN (SELECT w FROM stop)
+  GROUP BY doc_id, substr(t, 1, 6)
+),
+ranked AS (SELECT doc_id, term,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fpos) AS rnk
+           FROM pos),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM ranked a
+  JOIN ranked b ON a.doc_id = b.doc_id AND b.rnk = a.rnk + 1
+  JOIN ranked c ON a.doc_id = c.doc_id AND c.rnk = a.rnk + 2
+)"""
+
+
+def _sql_minhash() -> str:
+    n, bands = dedup.N_HASHES, dedup.N_BANDS
+    rows = n // bands
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(n)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(f"mh{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH {sqlgen.stopword_cte()}, {_sql_shingle_ctes()},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_PAIRS = _sql_minhash()
+
+
+# --------------------------------------------------------------- 13. simhash32
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.simhash32(docs).orderBy("doc_id")
+
+
+def _sql_simhash() -> str:
+    # hex[1:8] of md5 → 32-bit int, digit by digit (engine-portable)
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hexval = " + ".join(
+        f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+        for j in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
+    return f"""
+WITH {sqlgen.stopword_cte()}, {sqlgen.tokens_cte()},
+hashed AS (SELECT doc_id, md5(term) AS h FROM toks),
+hv AS (SELECT doc_id, {hexval} AS hv FROM hashed),
+agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
+
+
+# -------------------------------------------------------- 14. n-gram jaccard
+
+
+_PROBE_IDS = [0, 1, 2, 3, 4]
+_PROBE_LIST = ", ".join(str(p) for p in _PROBE_IDS)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dedup.ngram_jaccard_pairs(docs, _PROBE_IDS, threshold=0.05).orderBy(
+        "probe_id", "doc_id"
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH {sqlgen.stopword_cte()},
+raw AS (
+  SELECT doc_id, u.i AS i, w.l[u.i] AS t
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents) w,
+       UNNEST(generate_series(1, len(w.l))) u(i)
+),
+pos AS (
+  SELECT doc_id, substr(t, 1, 6) AS term, MIN(i) AS fpos
+  FROM raw WHERE len(t) >= 3 AND t NOT IN (SELECT w FROM stop)
+  GROUP BY doc_id, substr(t, 1, 6)
+),
+ranked AS (SELECT doc_id, term,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY fpos) AS rnk
+           FROM pos),
+sh AS (
+  SELECT DISTINCT a.doc_id, a.term || ' ' || b.term || ' ' || c.term AS shingle
+  FROM ranked a
+  JOIN ranked b ON a.doc_id = b.doc_id AND b.rnk = a.rnk + 1
+  JOIN ranked c ON a.doc_id = c.doc_id AND c.rnk = a.rnk + 2
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+probes AS (SELECT doc_id AS probe_id, shingle FROM sh WHERE doc_id IN ({_PROBE_LIST})),
+inter AS (
+  SELECT p.probe_id, s.doc_id, COUNT(*) AS i
+  FROM probes p JOIN sh s ON p.shingle = s.shingle AND p.probe_id < s.doc_id
+  GROUP BY p.probe_id, s.doc_id
+)
+SELECT i.probe_id, i.doc_id,
+       CAST(ROUND(i.i * 1e6 / (cp.n + cd.n - i.i)) AS BIGINT) AS jaccard_e6
+FROM inter i
+JOIN counts cp ON cp.doc_id = i.probe_id
+JOIN counts cd ON cd.doc_id = i.doc_id
+WHERE i.i * 1e6 / (cp.n + cd.n - i.i) >= 50000
+ORDER BY i.probe_id, i.doc_id
+"""
+
+
+# ------------------------------------------------------------ 15. cosine top-k
+
+
+def _probe_vec(sf_dir: str) -> list[float]:
+    import duckdb
+
+    return list(
+        duckdb.sql(
+            f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' WHERE vec_id = 0"
+        ).fetchone()[0]
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.cosine_topk(emb, _probe_vec(sf_dir), k=10)
+
+
+SQL_COSINE_TOPK = """
+WITH probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+prod AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[u.i] AS DOUBLE) * CAST(probe.p[u.i] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE)) AS nq,
+         SUM(CAST(probe.p[u.i] AS DOUBLE) * CAST(probe.p[u.i] AS DOUBLE)) AS np
+  FROM embeddings e CROSS JOIN probe,
+       UNNEST(generate_series(1, len(e.embedding))) u(i)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(ROUND(dot / (sqrt(nq) * sqrt(np)) * 1e6) AS BIGINT) AS cosine_e6
+FROM prod ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 10
+"""
+
+
+# ------------------------------------------------------------------ 16. langid
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textstats.langid(docs)
+    return out.select(
+        "doc_id",
+        F.col("en_hits").cast("long").alias("en_hits"),
+        F.col("es_hits").cast("long").alias("es_hits"),
+        F.col("pt_hits").cast("long").alias("pt_hits"),
+        "lang_pred",
+    )
+
+
+def _lang_cte(name: str, stopset) -> str:
+    vals = ", ".join(
+        f"('{w}')" for w in sorted(x for x in stopset if x and " " not in x and x.isascii())
+    )
+    return f"{name}(w) AS (VALUES {vals})"
+
+
+def _sql_langid() -> str:
+    from .stopwords import ENGLISH, PORTUGUESE, SPANISH
+
+    return f"""
+WITH {_lang_cte('en_s', ENGLISH)}, {_lang_cte('es_s', SPANISH)}, {_lang_cte('pt_s', PORTUGUESE)},
+words AS (
+  SELECT DISTINCT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), ' +')) AS t FROM documents
+  )
+),
+hits AS (
+  SELECT d.doc_id,
+    (SELECT COUNT(*) FROM words w WHERE w.doc_id = d.doc_id AND w.t IN (SELECT w FROM en_s)) AS en_hits,
+    (SELECT COUNT(*) FROM words w WHERE w.doc_id = d.doc_id AND w.t IN (SELECT w FROM es_s)) AS es_hits,
+    (SELECT COUNT(*) FROM words w WHERE w.doc_id = d.doc_id AND w.t IN (SELECT w FROM pt_s)) AS pt_hits
+  FROM documents d
+)
+SELECT doc_id, en_hits, es_hits, pt_hits,
+  CASE WHEN greatest(en_hits, es_hits, pt_hits) = 0 THEN 'und'
+       WHEN en_hits = greatest(en_hits, es_hits, pt_hits) THEN 'en'
+       WHEN es_hits = greatest(en_hits, es_hits, pt_hits) THEN 'es'
+       ELSE 'pt' END AS lang_pred
+FROM hits
+"""
+
+
+SQL_LANGID = _sql_langid()
+
+
+# ----------------------------------------------------------- 17. quality score
+
+
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.quality_score(docs)
+
+
+def _sql_quality() -> str:
+    from .stopwords import ENGLISH
+
+    return f"""
+WITH {_lang_cte('en_s', ENGLISH)},
+words AS (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents),
+dw AS (SELECT doc_id, COUNT(DISTINCT t) AS n_distinct,
+              COUNT(DISTINCT CASE WHEN t IN (SELECT w FROM en_s) THEN t END) AS n_stop
+       FROM (SELECT doc_id, unnest(l) AS t FROM words) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(length(d.text) AS BIGINT) AS n_chars_c,
+       CAST(len(w.l) AS BIGINT) AS n_words,
+       CAST(ROUND(dw.n_stop * 1e6 / greatest(dw.n_distinct, 1)) AS BIGINT) AS stop_ratio_e6,
+       CAST(ROUND(length(regexp_replace(d.text, '[^0-9]', '', 'g')) * 1e6
+            / greatest(length(d.text), 1)) AS BIGINT) AS digit_ratio_e6,
+       CAST(ROUND(length(replace(d.text, ' ', '')) * 1e6 / greatest(len(w.l), 1)) AS BIGINT)
+         AS mean_word_len_e6
+FROM documents d JOIN words w ON d.doc_id = w.doc_id JOIN dw ON d.doc_id = dw.doc_id
+"""
+
+
+SQL_QUALITY = _sql_quality()
+
+
+# ----------------------------------------------------------- 18. token counts
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_counts(docs)
+
+
+SQL_TOKEN_COUNTS = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{textstats.TOKEN_PATTERN}')) AS BIGINT)
+         AS bpe_tokens
+FROM documents
+"""
+
+
+# ------------------------------------------------------------ 19. fingerprint
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.fingerprint(docs).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = """
+WITH sh AS (
+  SELECT DISTINCT doc_id, md5(substr(text, u.i, 8)) AS h
+  FROM documents d,
+       UNNEST(generate_series(1, greatest(length(d.text) - 8, 0) + 1)) u(i)
+)
+SELECT doc_id, array_to_string((list_sort(list(DISTINCT h)))[1:4], '') AS fp
+FROM sh GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+# ------------------------------------------- 20. multimodal feature plumbing
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.docs_as_media(docs)
+    feats = multimodal.decode_features(media)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.element_at("features", 1).cast("long").alias("f0"),
+        F.element_at("features", 2).cast("long").alias("f1"),
+        F.element_at("features", 3).cast("long").alias("f2"),
+    )
+
+
+def _sql_media() -> str:
+    # fake features: f0 = n_bytes % 997; f1 = sum of md5-digest bytes 0..3;
+    # f2 = bytes 4..7. digest byte k = hex pair (2k+1, 2k+2)
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    def byte(k: int) -> str:
+        return f"({digit.format(p=2 * k + 1)} * 16 + {digit.format(p=2 * k + 2)})"
+
+    f1 = " + ".join(byte(k) for k in range(0, 4))
+    f2 = " + ".join(byte(k) for k in range(4, 8))
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+                  md5(text) AS h FROM documents)
+SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+       CAST(n_bytes % 997 AS BIGINT) AS f0,
+       CAST({f1} AS BIGINT) AS f1,
+       CAST({f2} AS BIGINT) AS f2
+FROM m
+"""
+
+
+SQL_MEDIA_FEATURES = _sql_media()
+
+
+OPS_QUERIES = {
+    "exact_dedup": q_exact_dedup,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash": q_simhash,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    "langid": q_langid,
+    "quality": q_quality,
+    "token_counts": q_token_counts,
+    "fingerprint": q_fingerprint,
+    "media_features": q_media_features,
+}
+
+OPS_SQL = {
+    "exact_dedup": SQL_EXACT_DEDUP,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "simhash": SQL_SIMHASH,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "cosine_topk": SQL_COSINE_TOPK,
+    "langid": SQL_LANGID,
+    "quality": SQL_QUALITY,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "fingerprint": SQL_FINGERPRINT,
+    "media_features": SQL_MEDIA_FEATURES,
+}

@@ -90,22 +90,22 @@ _ENCODE_RET = T.StructType(
     [
         T.StructField("blob", T.BinaryType()),
         T.StructField("block_last", T.ArrayType(T.LongType())),
-        T.StructField("block_max", T.ArrayType(T.FloatType())),
+        T.StructField("block_min_dlq", T.ArrayType(T.LongType())),
     ]
 )
 
 
 @pandas_udf(_ENCODE_RET)
-def _encode_udf(doc_ids: pd.Series, tfnorms: pd.Series) -> pd.DataFrame:
-    blobs, lasts, maxes = [], [], []
-    for ids, tfs in zip(doc_ids, tfnorms):
+def _encode_udf(doc_ids: pd.Series, dlqs: pd.Series) -> pd.DataFrame:
+    blobs, lasts, mins = [], [], []
+    for ids, dq in zip(doc_ids, dlqs):
         ids = np.asarray(ids, dtype=np.int64)
-        tfs = np.asarray(tfs, dtype=np.float32)
+        dq = np.asarray(dq, dtype=np.int64)
         blobs.append(codec.encode_docids(ids))
-        bl, bm = codec.block_metadata(ids, tfs)
+        bl, bm = codec.block_metadata(ids, dq)
         lasts.append(bl)
-        maxes.append(bm)
-    return pd.DataFrame({"blob": blobs, "block_last": lasts, "block_max": maxes})
+        mins.append(bm)
+    return pd.DataFrame({"blob": blobs, "block_last": lasts, "block_min_dlq": mins})
 
 
 def assemble_docs(transcripts: DataFrame, docs_meta: DataFrame | None = None) -> DataFrame:
@@ -212,26 +212,16 @@ def build_index(
             "n_docs long, sum_dl long, avgdl double, seg_size long",
         ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
 
-        docs = docs.withColumn(
-            "tfnorm",
-            (
-                F.lit(1.0)
-                / (
-                    F.lit(1.0)
-                    + F.lit(bm25.K1)
-                    * (F.lit(1.0 - bm25.B) + F.lit(bm25.B) * F.col("dlq") / F.lit(avgdl))
-                )
-            ).cast("float"),
-        )
         (
             docs.select(
                 "doc_id", "conv_id", "seg", "db", "instance", "update_date",
-                "dl", "dlq", "tfnorm", F.col("rr_tokens").alias("rerank_tokens"),
+                "dl", "dlq", F.col("rr_tokens").alias("rerank_tokens"),
                 "tokens",
             )
             .repartition("seg")
             .sortWithinPartitions("doc_id")
-            .write.mode("overwrite")
+            .write.partitionBy("seg")
+            .mode("overwrite")
             .parquet(paths.docs)
         )
         _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
@@ -261,28 +251,28 @@ def build_postings(
     seg_size: int = DEFAULT_SEG_SIZE,
     seg_batches: int = 1,
     resume: bool = False,
+    max_batches: int | None = None,
 ) -> None:
     """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
     block-max metadata. Committed in seg batches (resume skips done ones)."""
-    docs = spark.read.parquet(paths.docs)
-    segs = sorted(r["seg"] for r in docs.select("seg").distinct().collect())
+    docs = spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    segs = sorted(int(r["seg"]) for r in docs.select("seg").distinct().collect())
     batches = [segs[i::seg_batches] for i in range(seg_batches)]
     done: set[int] = set()
     if resume:
         done = _done_segs(spark, paths, "postings")
 
+    processed = 0
     for i, batch in enumerate(batches):
+        if max_batches is not None and processed >= max_batches:
+            break
         todo = [s for s in batch if s not in done]
         if not todo:
             continue
-        # each batch commits to its own batch=<i> subdir with overwrite →
-        # a crash mid-batch (write done, lineage not yet logged) is repaired
-        # idempotently on resume instead of duplicating rows on append
-        batch_path = os.path.join(paths.postings, f"batch={i}")
         d = docs.filter(F.col("seg").isin([int(s) for s in batch]))
-        exploded = d.select("seg", "doc_id", "tfnorm", F.explode("tokens").alias("term"))
+        exploded = d.select("seg", "doc_id", "dlq", F.explode("tokens").alias("term"))
         grouped = exploded.groupBy("seg", "term").agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "tfnorm"))).alias("plist")
+            F.array_sort(F.collect_list(F.struct("doc_id", "dlq"))).alias("plist")
         )
         encoded = grouped.select(
             "seg",
@@ -290,18 +280,26 @@ def build_postings(
             F.size("plist").cast("long").alias("df_seg"),
             _encode_udf(
                 F.transform("plist", lambda x: x.doc_id),
-                F.transform("plist", lambda x: x.tfnorm),
+                F.transform("plist", lambda x: x.dlq),
             ).alias("enc"),
-        ).select("seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_max")
+        ).select(
+            "seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_min_dlq"
+        )
+        # dynamic partition overwrite touches ONLY this batch's seg dirs —
+        # an idempotent per-segment commit (a crash between write and lineage
+        # log is repaired by redoing the batch; no duplicate rows possible)
         (
             encoded.repartition("seg")
             .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .parquet(batch_path)
+            .write.partitionBy("seg")
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(paths.postings)
         )
         rows_by_seg = {
             r["seg"]: r["cnt"]
-            for r in spark.read.parquet(batch_path)
+            for r in spark.read.parquet(paths.postings)
+            .filter(F.col("seg").isin([int(s) for s in batch]))
             .groupBy("seg")
             .agg(F.count("*").alias("cnt"))
             .collect()
@@ -310,10 +308,17 @@ def build_postings(
             spark,
             paths,
             [
-                ("postings", int(s), int(rows_by_seg.get(s, 0)), _dir_bytes(batch_path), "done")
+                (
+                    "postings",
+                    int(s),
+                    int(rows_by_seg.get(s, 0)),
+                    _dir_bytes(os.path.join(paths.postings, f"seg={int(s)}")),
+                    "done",
+                )
                 for s in batch
             ],
         )
+        processed += 1
 
 
 def build_terms(spark: SparkSession, paths: IndexPaths) -> None:

@@ -17,10 +17,14 @@ Blob layout (little-endian):
 
 Block-max metadata (per-term, kept as plain array columns next to the blob):
     block_last : int64[]       last docID of each block (skip pointers)
-    block_max_tfnorm : float32[]  max per-doc tfnorm in each block —
-                               with tf ≡ 1 (see bm25.py) a term's best
-                               possible score in a block is
-                               weight·idf·block_max_tfnorm (block-max WAND).
+    block_min_dlq : int64[]    min quantized doc length in each block —
+                               tfnorm is monotone-decreasing in dlq, so a
+                               term's best possible score in a block is
+                               weight·idf·tfnorm(min_dlq, avgdl). Storing the
+                               LENGTH (not the tfnorm) keeps the metadata
+                               valid when avgdl drifts under incremental
+                               updates (Lucene likewise derives avgdl from
+                               live index stats at query time).
 """
 from __future__ import annotations
 
@@ -68,13 +72,13 @@ def decode_docids(blob: bytes) -> np.ndarray:
     return ids
 
 
-def block_metadata(doc_ids: np.ndarray, tfnorms: np.ndarray) -> tuple[list[int], list[float]]:
-    """Per-128-block (last docID, max tfnorm) for skip + block-max WAND."""
+def block_metadata(doc_ids: np.ndarray, dlqs: np.ndarray) -> tuple[list[int], list[int]]:
+    """Per-128-block (last docID, min quantized dl) for skip + block-max WAND."""
     ids = np.asarray(doc_ids, dtype=np.int64)
-    tf = np.asarray(tfnorms, dtype=np.float32)
+    dq = np.asarray(dlqs, dtype=np.int64)
     last: list[int] = []
-    mx: list[float] = []
+    mn: list[int] = []
     for s in range(0, len(ids), BLOCK):
         last.append(int(ids[s : s + BLOCK][-1]))
-        mx.append(float(tf[s : s + BLOCK].max()))
-    return last, mx
+        mn.append(int(dq[s : s + BLOCK].min()))
+    return last, mn

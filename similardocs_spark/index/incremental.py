@@ -1,0 +1,158 @@
+"""Incremental index maintenance — the MERGE-INTO equivalent of the
+reference's MVStore-gated upsert path (LuceneIndexAkka.scala:209-242 +
+updateDocument at :225; skip rule: index only if the incoming update_date is
+strictly newer than the stored one).
+
+Merge semantics per incoming conversation:
+  - unknown conv_id              → INSERT (new docID appended after max,
+                                   ordered by conv_id within the batch —
+                                   deterministic given batch content)
+  - known, newer update_date     → UPDATE in place (docID is stable)
+  - known, not newer             → SKIP (anti-join drop)
+
+Only the doc segments containing touched documents are rewritten (docs AND
+postings, via dynamic partition overwrite) — bounded work per batch instead of
+a full rebuild. Corpus stats / term df / meta stats are refreshed afterwards;
+BM25 tfnorm is derived from live avgdl at query time (see engine), so scores
+track the updated corpus exactly like Lucene's live index stats do.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import (
+    IndexPaths,
+    _log_lineage,
+    assemble_docs,
+    assign_doc_ids,
+    build_terms,
+    tokenize_docs,
+)
+
+
+def incremental_update(
+    spark: SparkSession,
+    paths: IndexPaths,
+    new_transcripts: DataFrame,
+    docs_meta: DataFrame | None = None,
+) -> dict[str, int]:
+    """Apply a transcript delta to an existing index. Returns counters."""
+    stats_row = spark.read.parquet(paths.stats).collect()[0]
+    seg_size = int(stats_row["seg_size"])
+
+    incoming = tokenize_docs(assemble_docs(new_transcripts, docs_meta))
+    old = spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    old_keys = old.select(
+        "conv_id",
+        F.col("doc_id").alias("_old_id"),
+        F.col("update_date").alias("_old_ud"),
+    )
+
+    joined = incoming.join(F.broadcast(old_keys), "conv_id", "left")
+    updates = joined.filter(
+        F.col("_old_id").isNotNull() & (F.col("update_date") > F.col("_old_ud"))
+    ).withColumn("doc_id", F.col("_old_id"))
+    inserts = joined.filter(F.col("_old_id").isNull())
+    n_updates = updates.count()
+    n_inserts = inserts.count()
+    n_skips = incoming.count() - n_updates - n_inserts
+
+    max_id = old.agg(F.max("doc_id")).collect()[0][0]
+    next_id = (max_id + 1) if max_id is not None else 0
+    inserts = assign_doc_ids(inserts.drop("_old_id", "_old_ud", "doc_id")).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(next_id)
+    )
+    updates = updates.drop("_old_id", "_old_ud")
+
+    changed = updates.unionByName(inserts).withColumn(
+        "seg", (F.col("doc_id") / F.lit(seg_size)).cast("long")
+    )
+    changed = changed.select(
+        "doc_id", "conv_id", "seg", "db", "instance", "update_date",
+        "dl", "dlq", F.col("rr_tokens").alias("rerank_tokens"), "tokens",
+    )
+    changed = changed.persist()
+    affected = sorted(r["seg"] for r in changed.select("seg").distinct().collect())
+    if not affected:
+        changed.unpersist()
+        return {"inserts": 0, "updates": 0, "skips": int(n_skips), "segs": 0}
+
+    # rewrite ONLY affected doc segments: survivors of those segs + changed rows
+    changed_convs = [r["conv_id"] for r in changed.select("conv_id").collect()]
+    survivors = old.filter(
+        F.col("seg").isin([int(s) for s in affected])
+        & ~F.col("conv_id").isin(changed_convs)
+    ).select(*changed.columns)
+    (
+        survivors.unionByName(changed)
+        .repartition("seg")
+        .sortWithinPartitions("doc_id")
+        .write.partitionBy("seg")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(paths.docs)
+    )
+
+    # rebuild postings for affected segments only
+    docs = (
+        spark.read.parquet(paths.docs)
+        .withColumn("seg", F.col("seg").cast("long"))
+        .filter(F.col("seg").isin([int(s) for s in affected]))
+    )
+    from .build import _encode_udf
+
+    exploded = docs.select("seg", "doc_id", "dlq", F.explode("tokens").alias("term"))
+    grouped = exploded.groupBy("seg", "term").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "dlq"))).alias("plist")
+    )
+    encoded = grouped.select(
+        "seg",
+        "term",
+        F.size("plist").cast("long").alias("df_seg"),
+        _encode_udf(
+            F.transform("plist", lambda x: x.doc_id),
+            F.transform("plist", lambda x: x.dlq),
+        ).alias("enc"),
+    ).select("seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_min_dlq")
+    (
+        encoded.repartition("seg")
+        .sortWithinPartitions("term")
+        .write.partitionBy("seg")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(paths.postings)
+    )
+
+    # refresh corpus stats, term dictionary, meta stats
+    full = spark.read.parquet(paths.docs)
+    agg = full.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
+    n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
+    spark.createDataFrame(
+        [(n_docs, sum_dl, sum_dl / max(1, n_docs), seg_size)],
+        "n_docs long, sum_dl long, avgdl double, seg_size long",
+    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+    build_terms(spark, paths)
+    meta = (
+        full.filter(F.col("db").isNotNull())
+        .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
+        .agg(F.count("*").alias("df"))
+        .unionByName(
+            full.filter(F.col("instance").isNotNull())
+            .groupBy(F.lit("instance").alias("field"), F.col("instance").alias("value"))
+            .agg(F.count("*").alias("df"))
+        )
+    )
+    meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+    _log_lineage(
+        spark,
+        paths,
+        [("incremental", int(s), int(n_updates + n_inserts), 0, "done") for s in affected],
+    )
+    changed.unpersist()
+    return {
+        "inserts": int(n_inserts),
+        "updates": int(n_updates),
+        "skips": int(n_skips),
+        "segs": len(affected),
+    }

@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from ..functions.tokenize import tokenize as tokenize_udf
 
 N_HASHES = 12
-N_BANDS = 4  # 3 rows per band
+N_BANDS = 2  # 6 rows per band (strict buckets)
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -47,11 +47,28 @@ def _minhash_cols(n: int = N_HASHES):
     ]
 
 
+def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle): DISTINCT 3-token shingles in token order."""
+    toks = docs.select("doc_id", tokenize_udf(F.col(text_col)).alias("toks"))
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("shingle"),
+    ).distinct()
+
+
 def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    toks = docs.select(
-        "doc_id", F.explode(tokenize_udf(F.col(text_col))).alias("term")
-    )
-    return toks.groupBy("doc_id").agg(*_minhash_cols())
+    """Signatures over 3-token shingles (distinctive; single tokens collide
+    too often after prefix-6 truncation)."""
+    sh = shingles(docs, text_col).withColumnRenamed("shingle", "term")
+    return sh.groupBy("doc_id").agg(*_minhash_cols())
 
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -117,10 +134,13 @@ def ngram_jaccard_pairs(
     sh = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("toks") - 3, F.lit(0)) - 1),
-                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
-            )
+            F.when(
+                F.size("toks") >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 3),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i + 1, 3)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     ).distinct()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))

@@ -73,8 +73,27 @@ class SearchEngine:
             (r["field"], r["value"]): r["df"]
             for r in self.spark.read.parquet(self.paths.meta_stats).collect()
         }
-        self._docs = self.spark.read.parquet(self.paths.docs)
-        self._postings = self.spark.read.parquet(self.paths.postings)
+        # tfnorm derived at query time from LIVE avgdl (survives incremental
+        # updates; Lucene likewise computes avgdl from index stats per search)
+        self._docs = self.spark.read.parquet(self.paths.docs).withColumn(
+            "seg", F.col("seg").cast("long")
+        ).withColumn(
+            "tfnorm",
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.lit(bm25.K1)
+                    * (
+                        F.lit(1.0 - bm25.B)
+                        + F.lit(bm25.B) * F.col("dlq") / F.lit(self.avgdl)
+                    )
+                )
+            ).cast("float"),
+        )
+        self._postings = self.spark.read.parquet(self.paths.postings).withColumn(
+            "seg", F.col("seg").cast("long")
+        )
         self._terms = self.spark.read.parquet(self.paths.terms)
 
     # ------------------------------------------------------------ query prep

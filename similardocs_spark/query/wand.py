@@ -68,6 +68,7 @@ def wand_kernel(
     w_idf: dict[str, float],
     seg_size: int,
     pool: int,
+    avgdl: float,
 ) -> pd.DataFrame:
     if len(docs) == 0 or len(postings) == 0:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float32")})
@@ -100,7 +101,10 @@ def wand_kernel(
         n = int(np.frombuffer(blob, dtype=np.uint32, count=1)[0])
         offs = _block_offsets(blob, n)
         lasts = np.asarray(row.block_last, dtype=np.int64) - base
-        maxes = np.asarray(row.block_max, dtype=np.float32)
+        # block upper bound: tfnorm is monotone-decreasing in dlq
+        from .. import bm25 as _bm25
+
+        maxes = _bm25.tfnorm_np(np.asarray(row.block_min_dlq, dtype=np.int64), avgdl)
         firsts = np.empty_like(lasts)
         firsts[0] = 0  # conservative: block may start anywhere after prev block
         firsts[1:] = lasts[:-1] + 1
@@ -206,7 +210,7 @@ def wand_score_bucket(
     treeReduce heap merge."""
     spark = engine.spark
     postings = engine._postings.filter(F.col("term").isin(sorted(w_idf))).select(
-        "seg", "term", "blob", "block_last", "block_max"
+        "seg", "term", "blob", "block_last", "block_min_dlq"
     )
     docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
     if sources is not None:
@@ -221,8 +225,10 @@ def wand_score_bucket(
     )
     seg_size = engine.seg_size
 
+    avgdl = engine.avgdl
+
     def kernel(key, p, d):
-        return wand_kernel(key, p, d, w_idf, seg_size, pool)
+        return wand_kernel(key, p, d, w_idf, seg_size, pool, avgdl)
 
     per_seg = (
         postings.groupBy("seg")

@@ -72,9 +72,12 @@ def test_wand_kernel_unit():
     from similardocs_spark.index import codec
     from similardocs_spark.query.wand import wand_kernel
 
+    from similardocs_spark import bm25
+
     rng = np.random.default_rng(3)
-    n_docs, seg_size = 500, 1024
-    tfn = rng.uniform(0.1, 0.9, n_docs).astype(np.float32)
+    n_docs, seg_size, avgdl = 500, 1024, 42.5
+    dlq = rng.integers(5, 120, n_docs).astype(np.int64)
+    tfn = bm25.tfnorm_np(dlq, avgdl)
     docs = pd.DataFrame(
         {"doc_id": np.arange(n_docs), "tfnorm": tfn, "const": np.ones(n_docs)}
     )
@@ -83,13 +86,13 @@ def test_wand_kernel_unit():
     truth = {}
     for term, w in w_idf.items():
         ids = np.sort(rng.choice(n_docs, size=200, replace=False))
-        bl, bm = codec.block_metadata(ids, tfn[ids])
+        bl, bm = codec.block_metadata(ids, dlq[ids])
         rows.append(
             {
                 "term": term,
                 "blob": codec.encode_docids(ids),
                 "block_last": bl,
-                "block_max": bm,
+                "block_min_dlq": bm,
             }
         )
         for d in ids:
@@ -98,6 +101,6 @@ def test_wand_kernel_unit():
     exp = sorted(
         ((np.float32(s + 1.0), d) for d, s in truth.items()), key=lambda t: (-t[0], t[1])
     )[:50]
-    got = wand_kernel((0,), pd.DataFrame(rows), docs, w_idf, seg_size, 50)
+    got = wand_kernel((0,), pd.DataFrame(rows), docs, w_idf, seg_size, 50, avgdl)
     assert got["doc_id"].tolist() == [d for _, d in exp]
     assert [float(x) for x in got["score"]] == pytest.approx([float(s) for s, _ in exp], rel=1e-6)
