@@ -83,6 +83,7 @@ def main() -> None:
         .config("spark.driver.memory", "16g")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -104,9 +105,22 @@ def main() -> None:
         build_sec = time.time() - t0
         timings["index_build"] = round(build_sec, 3)
 
-        engine = SearchEngine(spark, paths, today=date(2028, 1, 1), end_days_ago=7)
+        engine = SearchEngine(spark, paths, today=date(2028, 1, 1), end_days_ago=7, cache=True)
 
-        # 2. search throughput (naive path then WAND path)
+        # 2a. batched throughput (the Spark-native serving path)
+        engine.search_batch({"warm": "key value"})
+        big_batch = {
+            f"{name}_{i}": text
+            for i in range(8)
+            for name, text in SEARCH_QUERIES.items()
+        }
+        t0 = time.time()
+        res = engine.search_batch(big_batch)
+        dt = time.time() - t0
+        timings["batch_set"] = round(dt, 3)
+        timings["batch_qps"] = round(len(big_batch) / dt, 3)
+
+        # 2b. single-query latency (naive path then WAND path)
         for tag, use_wand in (("search", False), ("wand", True)):
             t0 = time.time()
             n = 0
@@ -136,6 +150,7 @@ def main() -> None:
         "cpus": CPUS,
         "query_qps": timings.get("search_qps"),
         "wand_qps": timings.get("wand_qps"),
+        "batch_qps": timings.get("batch_qps"),
         "session_startup_sec": round(session_sec, 3),
     }
     print(json.dumps(out))

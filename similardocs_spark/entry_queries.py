@@ -110,8 +110,8 @@ FROM per
 
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure BM25 text score (no MUST constants) for BM25_QUERY over documents."""
-    toks = _toks(spark, sf_dir)
-    stats = q_doc_stats(spark, sf_dir)  # doc_id, dl, dlq
+    toks = _toks(spark, sf_dir).cache()  # reused by df-agg, scoring join
+    stats = q_doc_stats(spark, sf_dir).cache()  # doc_id, dl, dlq
     corpus = stats.agg(
         F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )

@@ -197,7 +197,9 @@ def build_index(
 
     done_docs = resume and _phase_done(spark, paths, "docs")
     if not done_docs:
-        docs = tokenize_docs(assemble_docs(transcripts, docs_meta))
+        # persist BEFORE range partitioning: repartitionByRange samples its
+        # input, which would otherwise run the tokenizer chain twice
+        docs = tokenize_docs(assemble_docs(transcripts, docs_meta)).persist()
         docs = assign_doc_ids(docs)
         docs = docs.withColumn("seg", (F.col("doc_id") / F.lit(seg_size)).cast("long"))
 
@@ -225,6 +227,7 @@ def build_index(
             .parquet(paths.docs)
         )
         _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
+        docs.unpersist()
 
         # meta keyword stats (db / instance document frequencies)
         docs_w = spark.read.parquet(paths.docs)

