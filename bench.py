@@ -39,13 +39,18 @@ SEARCH_QUERIES = {
 }
 
 
-def synth_transcripts(spark, sf_dir: str):
+def synth_transcripts(spark, sf_dir: str, replicate: int = 1):
     """documents → multi-turn transcripts (deterministic): split each doc's
     text into ≤6 turns of ~12 words; conv_id from doc_id; ts spread from a
-    pinned anchor by doc_id."""
+    pinned anchor by doc_id. `replicate` scales the corpus by cloning each
+    document R times with distinct conv_ids (for compute-bound scaling runs)."""
     from pyspark.sql import functions as F
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = docs.crossJoin(
+            spark.range(replicate).select(F.col("id").alias("rep"))
+        ).withColumn("doc_id", F.col("doc_id") * replicate + F.col("rep"))
     words = docs.select(
         "doc_id", F.split(F.col("text"), " ").alias("w"), F.col("source")
     )

@@ -33,14 +33,19 @@ _NONWORD_PAT = r"[^a-zA-Z0-9_\-]"
 
 def _uniform_vec(s: pd.Series) -> pd.Series:
     """Vectorized Tools.uniformString (trim → lower → NFD → strip combining
-    U+0300-036F → non-[a-z0-9_-] → space)."""
-    return (
-        s.str.strip(_JAVA_TRIM)
-        .str.lower()
-        .str.normalize("NFD")
-        .str.replace(_COMBINING_PAT, "", regex=True)
-        .str.replace(_NONWORD_PAT, " ", regex=True)
-    )
+    U+0300-036F → non-[a-z0-9_-] → space). ASCII inputs skip the NFD +
+    combining-strip passes (identity on ASCII) — a big win on mostly-ASCII
+    corpora without changing semantics."""
+    lowered = s.str.strip(_JAVA_TRIM).str.lower()
+    nonascii = lowered.str.contains("[^\x00-\x7f]", regex=True, na=False)
+    if nonascii.any():
+        slow = (
+            lowered[nonascii]
+            .str.normalize("NFD")
+            .str.replace(_COMBINING_PAT, "", regex=True)
+        )
+        lowered = pd.concat([lowered[~nonascii], slow]).sort_index(kind="stable")
+    return lowered.str.replace(_NONWORD_PAT, " ", regex=True)
 
 
 def _tokenize_series(texts: pd.Series, pre_uniform: bool, max_tokens: int | None) -> pd.Series:

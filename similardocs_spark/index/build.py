@@ -34,6 +34,7 @@ the same paths — the runtime jar is absent in this sandbox):
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 import numpy as np
@@ -194,19 +195,30 @@ def build_index(
     already marked done (checkpoint/restart without recomputation)."""
     paths = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
+    timing = os.environ.get("SIMDOCS_BUILD_TIMING")
 
+    def _t(label: str, t0: float) -> float:
+        if timing:
+            print(f"[build] {label}: {time.time() - t0:.1f}s", flush=True)
+        return time.time()
+
+    t0 = time.time()
     done_docs = resume and _phase_done(spark, paths, "docs")
     if not done_docs:
         # persist BEFORE range partitioning: repartitionByRange samples its
         # input, which would otherwise run the tokenizer chain twice
         docs = tokenize_docs(assemble_docs(transcripts, docs_meta)).persist()
         docs = assign_doc_ids(docs)
-        docs = docs.withColumn("seg", (F.col("doc_id") / F.lit(seg_size)).cast("long"))
+        docs = docs.withColumn(
+            "seg", (F.col("doc_id") / F.lit(seg_size)).cast("long")
+        ).persist()
+        t0 = _t("tokenize+assign(plan)", t0)
 
-        # corpus stats first (needed for tfnorm); single tiny collect
+        # corpus stats first; materializes the assigned-docs cache
         stats = docs.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).collect()[0]
+        t0 = _t("stats", t0)
         n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
         avgdl = float(sum_dl) / max(1, n_docs)
         spark.createDataFrame(
@@ -220,17 +232,20 @@ def build_index(
                 "dl", "dlq", F.col("rr_tokens").alias("rerank_tokens"),
                 "tokens",
             )
-            .repartition("seg")
-            .sortWithinPartitions("doc_id")
+            .repartitionByRange(
+                spark.sparkContext.defaultParallelism, "seg", "doc_id"
+            )  # NOT repartition("seg"): that caps write parallelism at #segs
+            .sortWithinPartitions("seg", "doc_id")
             .write.partitionBy("seg")
             .mode("overwrite")
             .parquet(paths.docs)
         )
+        t0 = _t("docs write", t0)
         _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
-        docs.unpersist()
 
-        # meta keyword stats (db / instance document frequencies)
-        docs_w = spark.read.parquet(paths.docs)
+        # meta keyword stats (db / instance document frequencies) — from the
+        # cached docs, before unpersist
+        docs_w = docs
         meta = (
             docs_w.filter(F.col("db").isNotNull())
             .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
@@ -242,9 +257,13 @@ def build_index(
             )
         )
         meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+        docs.unpersist()
+        t0 = _t("meta stats", t0)
 
     build_postings(spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume)
+    t0 = _t("postings", t0)
     build_terms(spark, paths)
+    _t("terms", t0)
     return paths
 
 
@@ -292,8 +311,10 @@ def build_postings(
         # an idempotent per-segment commit (a crash between write and lineage
         # log is repaired by redoing the batch; no duplicate rows possible)
         (
-            encoded.repartition("seg")
-            .sortWithinPartitions("term")
+            encoded.repartitionByRange(
+                spark.sparkContext.defaultParallelism, "seg", "term"
+            )
+            .sortWithinPartitions("seg", "term")
             .write.partitionBy("seg")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")

@@ -86,8 +86,8 @@ def incremental_update(
     ).select(*changed.columns)
     (
         survivors.unionByName(changed)
-        .repartition("seg")
-        .sortWithinPartitions("doc_id")
+        .repartitionByRange(spark.sparkContext.defaultParallelism, "seg", "doc_id")
+        .sortWithinPartitions("seg", "doc_id")
         .write.partitionBy("seg")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
@@ -116,8 +116,8 @@ def incremental_update(
         ).alias("enc"),
     ).select("seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_min_dlq")
     (
-        encoded.repartition("seg")
-        .sortWithinPartitions("term")
+        encoded.repartitionByRange(spark.sparkContext.defaultParallelism, "seg", "term")
+        .sortWithinPartitions("seg", "term")
         .write.partitionBy("seg")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")

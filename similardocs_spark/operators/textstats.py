@@ -13,21 +13,39 @@ from ..stopwords import ENGLISH, PORTUGUESE, SPANISH
 TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 
-def _hits(words_col, stopset: frozenset[str]):
-    lst = sorted(w for w in stopset if w and " " not in w and w.isascii())
-    return F.size(F.array_intersect(words_col, F.array(*[F.lit(w) for w in lst])))
+def _lang_rows() -> list[tuple[str, str]]:
+    out = []
+    for lang, stopset in (("en", ENGLISH), ("es", SPANISH), ("pt", PORTUGUESE)):
+        out.extend(
+            (w, lang)
+            for w in sorted(x for x in stopset if x and " " not in x and x.isascii())
+        )
+    return out
 
 
 def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword heuristic language ID: distinct words matched against
-    each language's stopword list; argmax with (en, es, pt) tie order, 'und'
-    when nothing matches."""
-    words = F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))
-    d = docs.withColumn("_w", words).select(
+    each language's stopword list (broadcast join — no giant literal arrays in
+    the plan); argmax with (en, es, pt) tie order, 'und' when nothing matches."""
+    spark = docs.sparkSession
+    stop_df = F.broadcast(spark.createDataFrame(_lang_rows(), "w string, lang string"))
+    words = docs.select(
         "doc_id",
-        _hits(F.col("_w"), ENGLISH).alias("en_hits"),
-        _hits(F.col("_w"), SPANISH).alias("es_hits"),
-        _hits(F.col("_w"), PORTUGUESE).alias("pt_hits"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("w"),
+    )
+    hits = (
+        words.join(stop_df, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_hits"),
+            F.sum(F.when(F.col("lang") == "es", 1).otherwise(0)).alias("es_hits"),
+            F.sum(F.when(F.col("lang") == "pt", 1).otherwise(0)).alias("pt_hits"),
+        )
+    )
+    d = (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, ["en_hits", "es_hits", "pt_hits"])
     )
     best = F.greatest("en_hits", "es_hits", "pt_hits")
     pred = (
@@ -94,20 +112,24 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint over 8-char shingles (winnowing-style):
-    fp = concat of the k smallest md5(shingle) values — robust to small edits."""
-    sh = docs.select(
-        "doc_id",
-        F.explode(
-            F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.length(text_col) - 8, F.lit(0))
-                ),
-                lambda i: F.md5(F.col(text_col).substr(i + 1, F.lit(8))),
-            )
-        ).alias("h"),
-    )
-    return (
-        sh.groupBy("doc_id")
-        .agg(F.slice(F.array_sort(F.collect_set("h")), 1, k).alias("mins"))
-        .select("doc_id", F.concat_ws("", "mins").alias("fp"))
-    )
+    fp = concat of the k smallest distinct md5(shingle) values — robust to
+    small edits. Arrow-batched pandas UDF (hashlib md5 == engine md5)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def fp_udf(texts: pd.Series) -> pd.Series:
+        def fp(t: str) -> str:
+            t = t or ""
+            hs = {
+                hashlib.md5(t[i : i + 8].encode()).hexdigest()
+                for i in range(0, max(len(t) - 8, 0) + 1)
+            }
+            return "".join(sorted(hs)[:k])
+
+        return texts.map(fp)
+
+    return docs.select("doc_id", fp_udf(F.col(text_col)).alias("fp"))
