@@ -4,8 +4,13 @@ fingerprint shingle hashing, which is md5 (cross-engine stable).
 """
 from __future__ import annotations
 
+import hashlib
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 from ..stopwords import ENGLISH, PORTUGUESE, SPANISH
 
@@ -114,14 +119,9 @@ def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFram
     """Bottom-k sketch fingerprint over 8-char shingles (winnowing-style):
     fp = concat of the k smallest distinct md5(shingle) values — robust to
     small edits. Arrow-batched pandas UDF (hashlib md5 == engine md5)."""
-    import hashlib
-
-    import pandas as pd
-    from pyspark.sql import types as T
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf(T.StringType())
-    def fp_udf(texts: pd.Series) -> pd.Series:
+    def fp_udf(texts):
         def fp(t: str) -> str:
             t = t or ""
             hs = {

@@ -1,0 +1,79 @@
+"""ANN cosine top-k (exact + LSH) and multimodal plumbing."""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), [float(x) for x in rng.standard_normal(16)], int(i % 3))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+@pytest.mark.spark
+def test_cosine_topk_exact(spark, emb):
+    from similardocs_spark.operators.ann import cosine_topk
+
+    rows = emb.collect()
+    probe = rows[0]["embedding"]
+    got = cosine_topk(emb, probe, k=10).collect()
+
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    p = np.array(probe, dtype=np.float64)
+    cos = (M @ p) / (np.linalg.norm(M, axis=1) * np.linalg.norm(p))
+    exp = sorted(
+        ((int(round(c * 1e6)), r["vec_id"]) for c, r in zip(cos, rows)),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["cosine_e6"], r["vec_id"]) for r in got] == exp
+    assert got[0]["vec_id"] == 0  # self-match first
+
+
+@pytest.mark.spark
+def test_lsh_cosine_topk_recall(spark, emb):
+    from similardocs_spark.operators.ann import cosine_topk, lsh_cosine_topk
+
+    probe = emb.collect()[5]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()]
+    approx = [r["vec_id"] for r in lsh_cosine_topk(emb, probe, k=10, bits=6).collect()]
+    # multi-probe LSH: self always found; decent overlap with exact top-10
+    assert approx[0] == 5
+    assert len(set(exact) & set(approx)) >= 4
+
+
+@pytest.mark.spark
+def test_multimodal_features(spark):
+    from similardocs_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _fake_features,
+        decode_features,
+        docs_as_media,
+        frame_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x" * 1000)], "doc_id long, text string"
+    )
+    media = docs_as_media(docs)
+    feats = {r["media_id"]: r for r in decode_features(media).collect()}
+    assert feats[1]["n_bytes"] == 11
+    assert feats[3]["n_bytes"] == 1000
+    assert len(feats[1]["features"]) == FEATURE_DIM
+    assert feats[1]["features"] == [np.float32(x) for x in _fake_features(b"hello world")]
+
+    # stub path raises where a real decoder would plug in
+    with pytest.raises(Exception):
+        decode_features(media, deterministic_fake=False).collect()
+
+    vid = spark.createDataFrame(
+        [(7, bytearray(b"v"), "video", "video/mp4", None, None, 3500)],
+        "media_id long, payload binary, modality string, mime string, "
+        "width int, height int, duration_ms long",
+    )
+    frames = frame_sample(vid, every_ms=1000).collect()
+    assert [(f["frame_idx"], f["ts_ms"]) for f in frames] == [(0, 0), (1, 1000), (2, 2000)]
