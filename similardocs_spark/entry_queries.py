@@ -274,7 +274,7 @@ GROUP BY source, lang
 def q_date_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _events(spark, sf_dir)
-        .filter(F.col("ts").between("2024-02-01", "2024-03-01"))
+        .filter(F.col("ts").between("2024-01-10", "2024-01-20"))
         .groupBy("event_type")
         .agg(
             F.count("*").alias("cnt"),
@@ -287,7 +287,7 @@ SQL_DATE_RANGE = """
 SELECT event_type, COUNT(*) AS cnt,
        CAST(ROUND(SUM(value) * 1e4) AS BIGINT) AS sum_value_e4
 FROM events
-WHERE ts BETWEEN TIMESTAMP '2024-02-01 00:00:00' AND TIMESTAMP '2024-03-01 00:00:00'
+WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
 GROUP BY event_type
 """
 
