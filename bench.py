@@ -76,6 +76,43 @@ def synth_transcripts(spark, sf_dir: str, replicate: int = 1):
     )
 
 
+def synth_transcripts_zipf(spark, n_convs: int = 100_000, turns_per_conv: int = 5,
+                           words_per_turn: int = 40, vocab: int = 50_000):
+    """Deterministic JVM-side transcript generator with a REALISTIC (Zipf-ish,
+    `vocab`-term) vocabulary — the driver's word-soup corpus has only ~26
+    distinct prefix terms, which collapses groupBy(term) parallelism and makes
+    scaling runs skew-bound rather than compute-bound. Word rank r ∈ [0, vocab)
+    drawn as floor(vocab · u²) of a hashed uniform u → low ranks are frequent."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_convs * turns_per_conv).select(
+        (F.col("id") / turns_per_conv).cast("long").alias("cid"),
+        (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
+        F.col("id").alias("rid"),
+    )
+    word = lambda i: F.concat(
+        F.lit("w"),
+        F.floor(
+            F.lit(vocab)
+            * F.pow(
+                (F.pmod(F.hash(F.col("rid") * 1000 + i), 1_000_000) / 1_000_000.0), 2.0
+            )
+        ).cast("string"),
+    )
+    text = F.concat_ws(" ", F.array(*[word(F.lit(i)) for i in range(words_per_turn)]))
+    return base.select(
+        F.format_string("conv%09d", F.col("cid")).alias("conv_id"),
+        "turn_idx",
+        F.when(F.col("turn_idx") % 2 == 0, "user").otherwise("assistant").alias("role"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        (
+            F.to_timestamp(F.lit("2025-06-01 00:00:00"))
+            + F.make_interval(days=F.pmod(F.col("cid"), 900).cast("int"))
+        ).alias("ts"),
+    )
+
+
 def main() -> None:
     t_session = time.time()
     from pyspark.sql import SparkSession

@@ -292,21 +292,11 @@ def build_postings(
         if not todo:
             continue
         d = docs.filter(F.col("seg").isin([int(s) for s in batch]))
-        exploded = d.select("seg", "doc_id", "dlq", F.explode("tokens").alias("term"))
-        grouped = exploded.groupBy("seg", "term").agg(
-            F.array_sort(F.collect_list(F.struct("doc_id", "dlq"))).alias("plist")
-        )
-        encoded = grouped.select(
-            "seg",
-            "term",
-            F.size("plist").cast("long").alias("df_seg"),
-            _encode_udf(
-                F.transform("plist", lambda x: x.doc_id),
-                F.transform("plist", lambda x: x.dlq),
-            ).alias("enc"),
-        ).select(
-            "seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_min_dlq"
-        )
+        # sort-based encoding (see sortbuild.py): the hash-agg/collect_list
+        # alternative anti-scales under thread-count growth (JVM agg garbage)
+        from .sortbuild import build_postings_sorted
+
+        encoded = build_postings_sorted(d)
         # dynamic partition overwrite touches ONLY this batch's seg dirs —
         # an idempotent per-segment commit (a crash between write and lineage
         # log is repaired by redoing the batch; no duplicate rows possible)

@@ -100,21 +100,9 @@ def incremental_update(
         .withColumn("seg", F.col("seg").cast("long"))
         .filter(F.col("seg").isin([int(s) for s in affected]))
     )
-    from .build import _encode_udf
+    from .sortbuild import build_postings_sorted
 
-    exploded = docs.select("seg", "doc_id", "dlq", F.explode("tokens").alias("term"))
-    grouped = exploded.groupBy("seg", "term").agg(
-        F.array_sort(F.collect_list(F.struct("doc_id", "dlq"))).alias("plist")
-    )
-    encoded = grouped.select(
-        "seg",
-        "term",
-        F.size("plist").cast("long").alias("df_seg"),
-        _encode_udf(
-            F.transform("plist", lambda x: x.doc_id),
-            F.transform("plist", lambda x: x.dlq),
-        ).alias("enc"),
-    ).select("seg", "term", "df_seg", "enc.blob", "enc.block_last", "enc.block_min_dlq")
+    encoded = build_postings_sorted(docs)
     (
         encoded.repartitionByRange(spark.sparkContext.defaultParallelism, "seg", "term")
         .sortWithinPartitions("seg", "term")

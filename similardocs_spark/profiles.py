@@ -93,11 +93,30 @@ class ProfileStore:
     def update_stale(self, engine, now_ms: int, delta_ms: int = STALE_DELTA_MS) -> int:
         """Batch refresh of every stale profile (update_time == 0 or older than
         delta) — the Spark-native form of the reference's one-at-a-time
-        background Future loop (TopIndex.scala:624-666). Returns #refreshed."""
+        background Future loop (TopIndex.scala:624-666). All stale profiles go
+        through ONE batched search plan (search_batch) when the engine supports
+        it. Returns #refreshed."""
         rows = [r.asDict() for r in self._read().collect()]
-        n = 0
-        for row in rows:
-            if row["update_time"] == 0 or row["update_time"] < now_ms - delta_ms:
+        stale = [
+            row for row in rows
+            if row["update_time"] == 0 or row["update_time"] < now_ms - delta_ms
+        ]
+        if not stale:
+            return 0
+        if hasattr(engine, "search_batch"):
+            res = engine.search_batch(
+                {row["id"]: row["prof_content"] for row in stale},
+                max_docs=DEFAULT_MAX_DOCS,
+                min_ngrams=DEFAULT_MIN_NGRAMS,
+                split_time=True,
+            )
+            for row in stale:
+                hits = res.get(row["id"], [])
+                row["sd_ids"] = [int(h.doc_id) for h in hits]
+                row["sd_scores"] = [float(h.score) for h in hits]
+                row["update_time"] = now_ms
+        else:  # engines without batch support (e.g. test fakes)
+            for row in stale:
                 hits = engine.search(
                     row["prof_content"],
                     max_docs=DEFAULT_MAX_DOCS,
@@ -107,10 +126,8 @@ class ProfileStore:
                 row["sd_ids"] = [int(h.doc_id) for h in hits]
                 row["sd_scores"] = [float(h.score) for h in hits]
                 row["update_time"] = now_ms
-                n += 1
-        if n:
-            self._write(self.spark.createDataFrame(rows, SCHEMA))
-        return n
+        self._write(self.spark.createDataFrame(rows, SCHEMA))
+        return len(stale)
 
     # ------------------------------------------------------------- retrieval
 
