@@ -189,10 +189,18 @@ def build_index(
     seg_size: int = DEFAULT_SEG_SIZE,
     seg_batches: int = 1,
     resume: bool = False,
+    doc_id_expr: str | None = None,
+    lineage_counts: bool = True,
 ) -> IndexPaths:
     """Full index build. With seg_batches > 1, postings are committed in
     per-segment-range batches with lineage rows; `resume=True` skips batches
-    already marked done (checkpoint/restart without recomputation)."""
+    already marked done (checkpoint/restart without recomputation).
+
+    doc_id_expr: optional SQL expression producing a TRUSTED dense unique
+    docID from the assembled doc row (e.g. for inputs whose conv_id embeds a
+    dense integer) — skips the generic rank-assignment passes (sampling +
+    per-partition offsets). lineage_counts=False skips the per-batch postings
+    read-back counting job (rows are logged as -1)."""
     paths = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
     timing = os.environ.get("SIMDOCS_BUILD_TIMING")
@@ -208,7 +216,10 @@ def build_index(
         # persist BEFORE range partitioning: repartitionByRange samples its
         # input, which would otherwise run the tokenizer chain twice
         docs = tokenize_docs(assemble_docs(transcripts, docs_meta)).persist()
-        docs = assign_doc_ids(docs)
+        if doc_id_expr is not None:
+            docs = docs.withColumn("doc_id", F.expr(doc_id_expr).cast("long"))
+        else:
+            docs = assign_doc_ids(docs)
         docs = docs.withColumn(
             "seg", (F.col("doc_id") / F.lit(seg_size)).cast("long")
         ).persist()
@@ -244,23 +255,34 @@ def build_index(
         _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
 
         # meta keyword stats (db / instance document frequencies) — from the
-        # cached docs, before unpersist
-        docs_w = docs
-        meta = (
-            docs_w.filter(F.col("db").isNotNull())
-            .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
-            .agg(F.count("*").alias("df"))
-            .unionByName(
-                docs_w.filter(F.col("instance").isNotNull())
-                .groupBy(F.lit("instance").alias("field"), F.col("instance").alias("value"))
+        # cached docs, before unpersist; skipped when no categorical metadata
+        if docs_meta is not None:
+            meta = (
+                docs.filter(F.col("db").isNotNull())
+                .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
                 .agg(F.count("*").alias("df"))
+                .unionByName(
+                    docs.filter(F.col("instance").isNotNull())
+                    .groupBy(
+                        F.lit("instance").alias("field"), F.col("instance").alias("value")
+                    )
+                    .agg(F.count("*").alias("df"))
+                )
             )
-        )
-        meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
-        docs.unpersist()
+            meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+        else:
+            spark.createDataFrame([], "field string, value string, df long").write.mode(
+                "overwrite"
+            ).parquet(paths.meta_stats)
         t0 = _t("meta stats", t0)
 
-    build_postings(spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume)
+    build_postings(
+        spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume,
+        docs_df=None if (resume and done_docs) else docs if not done_docs else None,
+        lineage_counts=lineage_counts,
+    )
+    if not done_docs:
+        docs.unpersist()
     t0 = _t("postings", t0)
     build_terms(spark, paths)
     _t("terms", t0)
@@ -274,10 +296,17 @@ def build_postings(
     seg_batches: int = 1,
     resume: bool = False,
     max_batches: int | None = None,
+    docs_df: DataFrame | None = None,
+    lineage_counts: bool = True,
 ) -> None:
     """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
-    block-max metadata. Committed in seg batches (resume skips done ones)."""
-    docs = spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    block-max metadata. Committed in seg batches (resume skips done ones).
+    `docs_df` (e.g. the build's cached docs) avoids the parquet re-read."""
+    docs = (
+        docs_df
+        if docs_df is not None
+        else spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    )
     segs = sorted(int(r["seg"]) for r in docs.select("seg").distinct().collect())
     batches = [segs[i::seg_batches] for i in range(seg_batches)]
     done: set[int] = set()
@@ -310,14 +339,16 @@ def build_postings(
             .mode("overwrite")
             .parquet(paths.postings)
         )
-        rows_by_seg = {
-            r["seg"]: r["cnt"]
-            for r in spark.read.parquet(paths.postings)
-            .filter(F.col("seg").isin([int(s) for s in batch]))
-            .groupBy("seg")
-            .agg(F.count("*").alias("cnt"))
-            .collect()
-        }
+        rows_by_seg = {}
+        if lineage_counts:
+            rows_by_seg = {
+                r["seg"]: r["cnt"]
+                for r in spark.read.parquet(paths.postings)
+                .filter(F.col("seg").isin([int(s) for s in batch]))
+                .groupBy("seg")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
         _log_lineage(
             spark,
             paths,
@@ -325,7 +356,7 @@ def build_postings(
                 (
                     "postings",
                     int(s),
-                    int(rows_by_seg.get(s, 0)),
+                    int(rows_by_seg.get(s, -1)),
                     _dir_bytes(os.path.join(paths.postings, f"seg={int(s)}")),
                     "done",
                 )
