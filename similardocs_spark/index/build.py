@@ -53,6 +53,13 @@ TRUNCATE_CHARS = 10_000
 DEFAULT_SEG_SIZE = 1 << 20
 
 
+def small_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Single-slice DataFrame for tiny driver-side tables. A plain
+    createDataFrame gets defaultParallelism slices and coalesce(1) then pays
+    ~0.15 s per empty slice (measured: 4.5 s per one-row write at 32 threads)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 @dataclass
 class IndexPaths:
     root: str
@@ -213,56 +220,69 @@ def build_index(
     t0 = time.time()
     done_docs = resume and _phase_done(spark, paths, "docs")
     if not done_docs:
-        # persist BEFORE range partitioning: repartitionByRange samples its
-        # input, which would otherwise run the tokenizer chain twice
-        docs = tokenize_docs(assemble_docs(transcripts, docs_meta)).persist()
+        # STREAMING build: the tokenized docs are never cached as JVM objects
+        # (caching 10^7+ token strings is itself an allocation/GC bottleneck
+        # that anti-scales with thread count). The docs parquet write IS the
+        # materialization; every later phase reads back only the columns it
+        # needs (Catalyst column pruning keeps those scans near-free).
+        base = tokenize_docs(assemble_docs(transcripts, docs_meta))
         if doc_id_expr is not None:
-            docs = docs.withColumn("doc_id", F.expr(doc_id_expr).cast("long"))
+            docs = base.withColumn("doc_id", F.expr(doc_id_expr).cast("long"))
         else:
-            docs = assign_doc_ids(docs)
-        docs = docs.withColumn(
-            "seg", (F.col("doc_id") / F.lit(seg_size)).cast("long")
-        ).persist()
-        t0 = _t("tokenize+assign(plan)", t0)
-
-        # corpus stats first; materializes the assigned-docs cache
-        stats = docs.agg(
-            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-        ).collect()[0]
-        t0 = _t("stats", t0)
-        n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
-        avgdl = float(sum_dl) / max(1, n_docs)
-        spark.createDataFrame(
-            [(n_docs, int(sum_dl), avgdl, seg_size)],
-            "n_docs long, sum_dl long, avgdl double, seg_size long",
-        ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
-
+            # generic dense-rank ids: stage the tokenized docs to parquet
+            # first so the range-partitioner's sampling pass reads columnar
+            # data instead of re-running the tokenizer chain
+            staging = os.path.join(root, "_staging_docs")
+            base.write.mode("overwrite").parquet(staging)
+            t0 = _t("staging write", t0)
+            docs = assign_doc_ids(spark.read.parquet(staging))
+        docs = docs.withColumn("seg", (F.col("doc_id") / F.lit(seg_size)).cast("long"))
         (
             docs.select(
                 "doc_id", "conv_id", "seg", "db", "instance", "update_date",
                 "dl", "dlq", F.col("rr_tokens").alias("rerank_tokens"),
                 "tokens",
             )
-            .repartitionByRange(
-                spark.sparkContext.defaultParallelism, "seg", "doc_id"
-            )  # NOT repartition("seg"): that caps write parallelism at #segs
+            # hash repartition, NOT repartitionByRange: range partitioning
+            # SAMPLES its input, which would re-run the whole tokenizer chain
+            # as an extra pass; and NOT repartition("seg"), which caps write
+            # parallelism at #segs. Files are still doc_id-sorted internally.
+            .repartition(spark.sparkContext.defaultParallelism, "seg", "doc_id")
             .sortWithinPartitions("seg", "doc_id")
             .write.partitionBy("seg")
             .mode("overwrite")
             .parquet(paths.docs)
         )
         t0 = _t("docs write", t0)
-        _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
+        if doc_id_expr is None:
+            import shutil
 
-        # meta keyword stats (db / instance document frequencies) — from the
-        # cached docs, before unpersist; skipped when no categorical metadata
+            shutil.rmtree(os.path.join(root, "_staging_docs"), ignore_errors=True)
+
+        docs_w = spark.read.parquet(paths.docs)
+        stats = docs_w.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+        ).collect()[0]
+        t0 = _t("stats agg", t0)
+        n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
+        avgdl = float(sum_dl) / max(1, n_docs)
+        small_df(
+            spark,
+            [(n_docs, int(sum_dl), avgdl, seg_size)],
+            "n_docs long, sum_dl long, avgdl double, seg_size long",
+        ).write.mode("overwrite").parquet(paths.stats)
+        t0 = _t("stats write", t0)
+        _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
+        t0 = _t("stats lineage", t0)
+
+        # meta keyword stats (column-pruned scan); skipped without metadata
         if docs_meta is not None:
             meta = (
-                docs.filter(F.col("db").isNotNull())
+                docs_w.filter(F.col("db").isNotNull())
                 .groupBy(F.lit("db").alias("field"), F.col("db").alias("value"))
                 .agg(F.count("*").alias("df"))
                 .unionByName(
-                    docs.filter(F.col("instance").isNotNull())
+                    docs_w.filter(F.col("instance").isNotNull())
                     .groupBy(
                         F.lit("instance").alias("field"), F.col("instance").alias("value")
                     )
@@ -271,18 +291,15 @@ def build_index(
             )
             meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
         else:
-            spark.createDataFrame([], "field string, value string, df long").write.mode(
+            small_df(spark, [], "field string, value string, df long").write.mode(
                 "overwrite"
             ).parquet(paths.meta_stats)
         t0 = _t("meta stats", t0)
 
     build_postings(
         spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume,
-        docs_df=None if (resume and done_docs) else docs if not done_docs else None,
         lineage_counts=lineage_counts,
     )
-    if not done_docs:
-        docs.unpersist()
     t0 = _t("postings", t0)
     build_terms(spark, paths)
     _t("terms", t0)
@@ -383,11 +400,11 @@ def build_terms(spark: SparkSession, paths: IndexPaths) -> None:
 
 
 def _log_lineage(spark: SparkSession, paths: IndexPaths, rows: list[tuple]) -> None:
-    df = spark.createDataFrame(
-        rows, "phase string, seg long, rows long, bytes long, status string"
+    df = small_df(
+        spark, rows, "phase string, seg long, rows long, bytes long, status string"
     )
     mode = "append" if os.path.exists(paths.lineage) else "overwrite"
-    df.coalesce(1).write.mode(mode).parquet(paths.lineage)
+    df.write.mode(mode).parquet(paths.lineage)
 
 
 def _phase_done(spark: SparkSession, paths: IndexPaths, phase: str) -> bool:

@@ -116,10 +116,13 @@ def incremental_update(
     full = spark.read.parquet(paths.docs)
     agg = full.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
-    spark.createDataFrame(
+    from .build import small_df
+
+    small_df(
+        spark,
         [(n_docs, sum_dl, sum_dl / max(1, n_docs), seg_size)],
         "n_docs long, sum_dl long, avgdl double, seg_size long",
-    ).coalesce(1).write.mode("overwrite").parquet(paths.stats)
+    ).write.mode("overwrite").parquet(paths.stats)
     build_terms(spark, paths)
     meta = (
         full.filter(F.col("db").isNotNull())

@@ -44,17 +44,17 @@ class ProfileStore:
     path: str
 
     def _read(self) -> DataFrame:
+        from .index.build import small_df
+
         if not os.path.exists(self.path):
-            return self.spark.createDataFrame([], SCHEMA)
+            return small_df(self.spark, [], SCHEMA)
         return self.spark.read.parquet(self.path)
 
     def _write(self, df: DataFrame) -> None:
-        tmp = self.path + ".tmp"
-        df.coalesce(1).write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp).collect()
-        self.spark.createDataFrame(out, SCHEMA).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(self.path)
+        from .index.build import small_df
+
+        rows = [tuple(r) for r in df.collect()]  # tiny table; single-slice write
+        small_df(self.spark, rows, SCHEMA).write.mode("overwrite").parquet(self.path)
 
     # ------------------------------------------------------------------ CRUD
 

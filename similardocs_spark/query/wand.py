@@ -236,6 +236,8 @@ def wand_score_bucket(
         .applyInPandas(kernel, schema="doc_id long, score float")
     )
     top = topk_treereduce(per_seg, pool)
-    return spark.createDataFrame(
-        [(int(d), float(s)) for s, d in top], "doc_id long, score float"
+    from ..index.build import small_df
+
+    return small_df(
+        spark, [(int(d), float(s)) for s, d in top], "doc_id long, score float"
     )
