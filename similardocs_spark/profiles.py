@@ -129,6 +129,27 @@ class ProfileStore:
         self._write(self.spark.createDataFrame(rows, SCHEMA))
         return len(stale)
 
+    def reset_all_times(self, user: str | None = None) -> int:
+        """Mark profiles stale (update_time = 0) — the reference's
+        resetAllTimes/reset paths (TopIndex.scala:730-821); optionally scoped
+        to one user. The next update_stale() rematerializes them."""
+        rows = [r.asDict() for r in self._read().collect()]
+        n = 0
+        for row in rows:
+            if user is None or row["user"] == user:
+                if row["update_time"] != 0:
+                    row["update_time"] = 0
+                    n += 1
+        if n:
+            self._write(self.spark.createDataFrame(rows, SCHEMA))
+        return n
+
+    def update_all(self, engine, now_ms: int) -> int:
+        """Force-refresh every profile regardless of staleness
+        (updateAllSimilarDocs — TopIndex.scala:844-851 preprocess path)."""
+        self.reset_all_times()
+        return self.update_stale(engine, now_ms)
+
     # ------------------------------------------------------------- retrieval
 
     def get_sim_docs(

@@ -60,3 +60,17 @@ def test_profile_crud_and_update(spark, tmp_path):
     assert len(store.get_profiles("Téster!@paho.org")) == 1
     store.delete_user("Téster!@paho.org")
     assert store.get_profiles("Téster!@paho.org") == []
+
+
+@pytest.mark.spark
+def test_reset_and_update_all(spark, tmp_path):
+    store = ProfileStore(spark, str(tmp_path / "p2"))
+    eng = FakeEngine()
+    store.add_profile("u", "a", "zika", now_ms=10)
+    store.add_profile("u", "b", "dengue", now_ms=10)
+    assert store.update_stale(eng, now_ms=100) == 2
+    assert store.reset_all_times("u") == 2
+    profs = store.get_profiles("u")
+    assert all(p["update_time"] == 0 for p in profs)
+    assert store.update_all(eng, now_ms=200) == 2
+    assert all(p["update_time"] == 200 for p in store.get_profiles("u"))
