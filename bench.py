@@ -173,6 +173,36 @@ def main() -> None:
             timings[f"{tag}_set"] = round(dt, 3)
             timings[f"{tag}_qps"] = round(len(SEARCH_QUERIES) / dt, 3)
 
+    # 2c. realistic-vocabulary corpus (Zipf, 50k terms): per-query match sets
+    # are Zipf-bounded instead of match-everything, like real text
+    with tempfile.TemporaryDirectory() as zroot:
+        ztdf = synth_transcripts_zipf(spark, n_convs=20_000, turns_per_conv=4)
+        t0 = time.time()
+        zpaths = build_index(
+            spark, ztdf, zroot, seg_size=1 << 13,
+            doc_id_expr="cast(substring(conv_id, 5, 9) as bigint)",
+            lineage_counts=False,
+        )
+        timings["zipf_build"] = round(time.time() - t0, 3)
+        zengine = SearchEngine(
+            spark, zpaths, today=date(2028, 1, 1), end_days_ago=7, cache=True
+        )
+        zqueries = {
+            f"z{i}_{j}": q
+            for j in range(8)
+            for i, q in enumerate(
+                ["w0 w1 w17 w123", "w2 w5 w999 w4321", "w1 w3 w55", "w7 w88 w1500",
+                 "w10 w20 w30", "w0 w41000 w600", "w6 w66 w666", "w9 w99 w999",
+                 "w11 w111 w1111"]
+            )
+        }
+        zengine.search_batch({"warm": "w0 w1"})
+        t0 = time.time()
+        zres = zengine.search_batch(zqueries)
+        dt = time.time() - t0
+        timings["zipf_batch_set"] = round(dt, 3)
+        timings["zipf_batch_qps"] = round(len(zqueries) / dt, 3)
+
     # 3. driver-contract queries
     total_q = 0.0
     for name, fn in entry.queries().items():
@@ -193,6 +223,7 @@ def main() -> None:
         "query_qps": timings.get("search_qps"),
         "wand_qps": timings.get("wand_qps"),
         "batch_qps": timings.get("batch_qps"),
+        "zipf_batch_qps": timings.get("zipf_batch_qps"),
         "session_startup_sec": round(session_sec, 3),
     }
     print(json.dumps(out))
