@@ -374,6 +374,7 @@ SELECT COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events FROM events
 
 
 from .entry_queries_ops import OPS_QUERIES, OPS_SQL  # noqa: E402
+from .entry_queries_rel import REL_QUERIES, REL_SQL  # noqa: E402
 
 QUERIES = {
     "term_df": q_term_df,
@@ -387,6 +388,7 @@ QUERIES = {
     "round_robin": q_round_robin,
     "distinct_users": q_distinct_users,
     **OPS_QUERIES,
+    **REL_QUERIES,
 }
 
 SQL = {
@@ -401,4 +403,5 @@ SQL = {
     "round_robin": SQL_ROUND_ROBIN,
     "distinct_users": SQL_DISTINCT_USERS,
     **OPS_SQL,
+    **REL_SQL,
 }
