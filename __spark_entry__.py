@@ -17,22 +17,53 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+_shipped: set[int] = set()
+
+
+def _ensure_workers(spark: SparkSession) -> None:
+    """Executor Python workers inherit neither this process's sys.path nor
+    its cwd — ship the package as a zip so UDFs resolve `similardocs_spark`
+    regardless of where the harness launched Spark from."""
+    key = id(spark.sparkContext)
+    if key in _shipped:
+        return
+    import shutil
+    import tempfile
+
+    zip_base = os.path.join(tempfile.gettempdir(), "similardocs_spark_pkg")
+    zip_path = zip_base + ".zip"
+    if not os.path.exists(zip_path):
+        shutil.make_archive(
+            zip_base, "zip", root_dir=_REPO, base_dir="similardocs_spark"
+        )
+    spark.sparkContext.addPyFile(zip_path)
+    _shipped.add(key)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full similar-documents search (BM25 candidates → overlap
     rerank → top-k) over the sf0.001 documents corpus."""
+    _ensure_workers(spark)
     from similardocs_spark.entry_queries import q_adhoc_search
 
     return q_adhoc_search(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2 (see COVERAGE.md)."""
     from similardocs_spark.entry_queries import QUERIES
 
-    return dict(QUERIES)
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            _ensure_workers(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
