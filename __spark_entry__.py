@@ -33,12 +33,16 @@ def _ensure_workers(spark: SparkSession) -> None:
     import shutil
     import tempfile
 
-    zip_base = os.path.join(tempfile.gettempdir(), "similardocs_spark_pkg")
-    zip_path = zip_base + ".zip"
-    if not os.path.exists(zip_path):
-        shutil.make_archive(
-            zip_base, "zip", root_dir=_REPO, base_dir="similardocs_spark"
-        )
+    # Rebuild unconditionally into a per-process name: reusing a cached zip
+    # after a source edit would make executors import STALE package code
+    # while the driver runs the new code (silent UDF divergence), and a
+    # shared fixed name races across concurrent harness processes.
+    zip_base = os.path.join(
+        tempfile.gettempdir(), f"similardocs_spark_pkg_{os.getpid()}"
+    )
+    zip_path = shutil.make_archive(
+        zip_base, "zip", root_dir=_REPO, base_dir="similardocs_spark"
+    )
     spark.sparkContext.addPyFile(zip_path)
     _shipped.add(key)
 

@@ -99,8 +99,8 @@ WITH {sqlgen.stopword_cte()}, {sqlgen.tokens_cte()},
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 per AS (SELECT d.doc_id, COALESCE(dl.dl, 0) AS dl
         FROM documents d LEFT JOIN dl ON d.doc_id = dl.doc_id)
-SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-       CAST(ROUND(SUM(dl) * 1e6 / COUNT(*)) AS BIGINT) AS avgdl_e6
+SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+       CAST(ROUND((SUM(dl) / COUNT(*)) * 1e6) AS BIGINT) AS avgdl_e6
 FROM per
 """
 
@@ -261,7 +261,7 @@ def q_filter_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_FILTER_CATEGORICAL = """
-SELECT source, lang, COUNT(*) AS cnt, SUM(n_chars) AS sum_chars
+SELECT source, lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM documents
 WHERE source IN ('src1','src3','src5') AND lang IN ('en','es','pt')
 GROUP BY source, lang

@@ -23,8 +23,8 @@ WITH g AS (
   SELECT md5(text) AS text_hash, COUNT(*) AS group_size, MIN(doc_id) AS keeper
   FROM documents GROUP BY md5(text)
 )
-SELECT COUNT(*) AS n_groups, SUM(group_size) AS n_docs,
-       SUM(group_size) - COUNT(*) AS n_dups, MAX(group_size) AS max_group
+SELECT COUNT(*) AS n_groups, CAST(SUM(group_size) AS BIGINT) AS n_docs,
+       CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_dups, MAX(group_size) AS max_group
 FROM g
 """
 
@@ -37,13 +37,13 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
 
 
-def _sql_shingle_ctes() -> str:
+def _sql_shingle_ctes(src: str = "documents") -> str:
     """raw/pos/ranked/sh CTE bodies producing DISTINCT ordered 3-token
     shingles per doc (mirrors operators.dedup.shingles)."""
-    return """
+    return f"""
 raw AS (
   SELECT doc_id, u.i AS i, w.l[u.i] AS t
-  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents) w,
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM {src}) w,
        UNNEST(generate_series(1, len(w.l))) u(i)
 ),
 pos AS (
@@ -75,12 +75,19 @@ def _sql_minhash() -> str:
         )
         for b in range(bands)
     )
+    # mirrors minhash_lsh_pairs: exact-collapse prepass (reps) + bucket cap
     return f"""
-WITH {sqlgen.stopword_cte()}, {_sql_shingle_ctes()},
+WITH {sqlgen.stopword_cte()},
+reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+         FROM documents GROUP BY md5(text)),
+{_sql_shingle_ctes(src="reps")},
 sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
+bands AS ({band_selects}),
+bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+ok AS (SELECT b.* FROM bands b JOIN bsz s ON b.band = s.band AND b.key = s.key
+       WHERE s.n <= {dedup.MAX_BUCKET})
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
+FROM ok a JOIN ok b
   ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
@@ -364,8 +371,32 @@ FROM m
 SQL_MEDIA_FEATURES = _sql_media()
 
 
+# ------------------------------------------------------- 21. dedup ACTION
+
+
+def q_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level dedup action (exact part — the SQL-expressible half; the
+    LSH connected-component half is pytest-verified in test_dedup_action):
+    the deduplicated documents table a training pipeline consumes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        dedup.deduplicate(docs, near=False)
+        .select("doc_id", "source", "lang", F.length("text").cast("long").alias("n_chars_c"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_DOCS = """
+WITH k AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.source, d.lang, CAST(length(d.text) AS BIGINT) AS n_chars_c
+FROM documents d JOIN k ON d.doc_id = k.doc_id
+ORDER BY d.doc_id
+"""
+
+
 OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
+    "dedup_docs": q_dedup_docs,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
@@ -379,6 +410,7 @@ OPS_QUERIES = {
 
 OPS_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
+    "dedup_docs": SQL_DEDUP_DOCS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,

@@ -159,7 +159,12 @@ def assign_doc_ids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     ranged = docs.repartitionByRange(n_part, "conv_id").withColumn(
         "_pid", F.spark_partition_id()
     )
-    ranged = ranged.persist()
+    # localCheckpoint (eager), not persist: range sampling is nondeterministic
+    # across re-executions, so the snapshot the counts were collected from
+    # must be the one scored below — and checkpoint blocks are released by
+    # the ContextCleaner when this DataFrame goes out of scope (a bare
+    # .persist() here leaked cache for the rest of the build)
+    ranged = ranged.localCheckpoint()
     counts = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
     offsets, acc = {}, 0
     for pid in sorted(counts):
@@ -343,14 +348,19 @@ def build_postings(
         from .sortbuild import build_postings_sorted
 
         encoded = build_postings_sorted(d)
-        # dynamic partition overwrite touches ONLY this batch's seg dirs —
+        # encoded is ALREADY range-partitioned + sorted on (seg, term): the
+        # encoder is partition-preserving over build_postings_sorted's range
+        # shuffle. Re-range-partitioning here would add a shuffle AND a
+        # RangePartitioner sampling pass that executes the whole
+        # explode→sort→encode pipeline a second time (measured ~2× on the
+        # postings phase). The term-ranged file layout the query path's
+        # row-group pruning relies on is identical either way.
+        #
+        # Dynamic partition overwrite touches ONLY this batch's seg dirs —
         # an idempotent per-segment commit (a crash between write and lineage
         # log is repaired by redoing the batch; no duplicate rows possible)
         (
-            encoded.repartitionByRange(
-                spark.sparkContext.defaultParallelism, "seg", "term"
-            )
-            .sortWithinPartitions("seg", "term")
+            encoded.sortWithinPartitions("seg", "term")
             .write.partitionBy("seg")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")

@@ -67,6 +67,59 @@ def _and_total(engine, terms: list[str]) -> int:
     return int(decoded)
 
 
+STORED_FIELDS = ["doc_id", "conv_id", "update_date", "db", "instance", "dl", "dlq"]
+
+
+def term_search(engine, field: str, value: str, max_hits: int = 1000) -> dict:
+    """Exact keyword term lookup on a stored/indexed field → hit count +
+    first `max_hits` docIDs (TermSearch.scala:23-47; its 1000-doc cap kept).
+    `field='term'` probes the inverted index itself (postings docIDs);
+    any stored-field name probes the docs table."""
+    if field == "term":
+        from ..query.engine import _decode_udf
+
+        hits = (
+            engine._postings.filter(F.col("term") == value)
+            .select(F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
+            .orderBy("doc_id")
+        )
+    else:
+        hits = engine._docs.filter(F.col(field) == value).select("doc_id").orderBy(
+            "doc_id"
+        )
+    ids = [r["doc_id"] for r in hits.limit(max_hits).collect()]
+    n = len(ids) if len(ids) < max_hits else int(hits.count())
+    return {"hits": n, "doc_ids": ids}
+
+
+def show_docs(engine, doc_id: int | None = None, max_docs: int = 1000) -> list:
+    """Stored-fields dump of one document, or of the whole index in docID
+    order (ShowDocs.scala:44-77; deleted-docs marking is moot here — merges
+    rewrite segments, so the live table never carries tombstones)."""
+    d = engine._docs.select(*STORED_FIELDS)
+    if doc_id is not None:
+        return d.filter(F.col("doc_id") == doc_id).collect()
+    return d.orderBy("doc_id").limit(max_docs).collect()
+
+
+def show_new_doc_ids(engine, days: int, max_docs: int = 1000) -> list:
+    """(conv_id, update_date) of docs whose update_date falls within the last
+    `days` days of the engine's pinned clock (ShowNewDocIds.scala:47-79;
+    the reference's TermRangeQuery on the date field = a between filter on
+    the update_date column, pushed to the parquet scan)."""
+    from ..oracle.refsearch import days_ago_str
+
+    lo = days_ago_str(engine.today, days)
+    hi = days_ago_str(engine.today, 0)
+    return (
+        engine._docs.filter(F.col("update_date").between(lo, hi))
+        .select("conv_id", "update_date", "doc_id")
+        .orderBy("update_date", "doc_id")
+        .limit(max_docs)
+        .collect()
+    )
+
+
 def index_test(engine, term: str = "dengue") -> int:
     """Index sanity probe (IndexTest.scala:19-76): n_docs > 0 and term df."""
     assert engine.n_docs > 0

@@ -71,11 +71,19 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return sh.groupBy("doc_id").agg(*_minhash_cols())
 
 
-def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
-    Band key = concat of the band's minhashes; pairs joined only within
-    buckets (the scale-critical property)."""
-    sig = minhash_signatures(docs, text_col)
+MAX_BUCKET = 2000  # LSH bucket-size ceiling (pair join is O(|bucket|²))
+
+
+def exact_representatives(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One representative row (min doc_id) per exact-text group — the
+    prepass that keeps identical texts out of any pair join."""
+    wh = docs.withColumn("_th", F.md5(F.col(text_col)))
+    keep = wh.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
+    return wh.join(keep, ["_th", "doc_id"]).drop("_th")
+
+
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, key) rows — one per signature band."""
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):
@@ -88,7 +96,46 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
-    a, b_ = all_bands.alias("a"), all_bands.alias("b")
+    return all_bands
+
+
+def lsh_oversized_buckets(
+    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Audit helper (no-silent-caps): the band buckets minhash_lsh_pairs
+    would DROP, with their sizes — run it to quantify what the cap skipped."""
+    bb = _band_buckets(minhash_signatures(exact_representatives(docs, text_col), text_col))
+    return (
+        bb.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
+    Band key = concat of the band's minhashes; pairs joined only within
+    buckets (the scale-critical property). Two skew guards:
+
+    - exact-collapse prepass: identical texts are collapsed to their
+      min-doc_id representative BEFORE signatures, so a mass-duplicated
+      boilerplate text (the common degenerate case in training corpora)
+      contributes ONE bucket row, not |group|. Exact duplicates are the
+      exact_dedup/deduplicate operators' job; pairs here are between
+      distinct texts only.
+    - bucket-size cap: buckets larger than `max_bucket` are skipped (the
+      within-bucket join is O(|bucket|²); one hot bucket would stall the
+      stage). Dropped buckets are observable via lsh_oversized_buckets() —
+      never capped silently."""
+    reps = exact_representatives(docs, text_col)
+    all_bands = _band_buckets(minhash_signatures(reps, text_col))
+    sizes = all_bands.groupBy("band", "key").agg(F.count("*").alias("_bsz"))
+    capped = all_bands.join(
+        sizes.filter(F.col("_bsz") <= max_bucket), ["band", "key"]
+    ).drop("_bsz")
+    a, b_ = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(
             b_,
@@ -102,6 +149,89 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+def deduplicate(
+    docs: DataFrame,
+    text_col: str = "text",
+    near: bool = True,
+    max_bucket: int = MAX_BUCKET,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Doc-level dedup ACTION: returns the deduplicated docs table (all
+    original columns), keeping min(doc_id) per exact-text group and — with
+    `near=True` — min(doc_id) per connected component of the MinHash-LSH
+    candidate-pair graph (iterative min-label propagation; converges in
+    O(component diameter) distributed passes, each one join + one groupBy —
+    no driver-side union-find, no collect of the pair list).
+
+    This is the operator a training pipeline actually consumes (the pair
+    list is diagnostics); output size is bounded by the input, never by
+    pair multiplicity."""
+    reps = exact_representatives(docs, text_col)
+    if not near:
+        return reps
+    pairs = minhash_lsh_pairs(reps, text_col, max_bucket=max_bucket)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    # only docs that appear in some edge can change label — everything else
+    # keeps itself; iterate over the (small) edge-touched vertex set only
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("label").alias("nl")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nl").alias("nbr"))
+            )
+            new_labels = (
+                labels.join(nbr_min.withColumnRenamed("src", "doc_id"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(F.col("label"), F.coalesce("nbr", F.col("label"))).alias(
+                        "label"
+                    ),
+                )
+                .localCheckpoint()  # truncate iterative lineage
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+                .filter(F.col("label") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels.persist()
+            if changed == 0:
+                break
+        # non-keeper = label smaller than own id; reps not touched by any
+        # edge survive implicitly (anti-join against the dropped set, which
+        # is materialized so both caches can be released here)
+        dropped = (
+            labels.filter(F.col("label") != F.col("doc_id"))
+            .select("doc_id")
+            .localCheckpoint()
+        )
+        labels.unpersist()
+        return reps.join(dropped, "doc_id", "left_anti")
+    finally:
+        edges.unpersist()
 
 
 def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:

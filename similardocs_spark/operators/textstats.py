@@ -1,16 +1,11 @@
 """Text-analysis operators: language-ID, quality scoring, token counting,
-document fingerprinting. All JVM-side (built-in functions) except the
-fingerprint shingle hashing, which is md5 (cross-engine stable).
+document fingerprinting. All JVM-side (built-in functions, md5 for
+cross-engine-stable hashing) — no Python in any hot path.
 """
 from __future__ import annotations
 
-import hashlib
-
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-from pyspark.sql.functions import pandas_udf
 
 from ..stopwords import ENGLISH, PORTUGUESE, SPANISH
 
@@ -64,36 +59,55 @@ def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic doc-quality features + combined score:
-    length, word count, mean word length, stopword ratio, digit ratio."""
+    length, word count, mean word length, stopword ratio, digit ratio.
+
+    Stopword matching uses the same broadcast-join pattern as langid (a
+    ~570-element literal array in the plan bloats every task's serialized
+    plan; a broadcast dim table does not)."""
+    spark = docs.sparkSession
+    stop_df = F.broadcast(
+        spark.createDataFrame(
+            [(w,) for w in sorted(x for x in ENGLISH if " " not in x and x.isascii())],
+            "w string",
+        )
+    )
     words = F.split(F.trim(F.col(text_col)), " +")
-    stop_arr = F.array(
-        *[F.lit(w) for w in sorted(x for x in ENGLISH if " " not in x and x.isascii())]
+    base = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_t"),
+        F.array_distinct(words).alias("_dw"),
+        F.length(text_col).cast("long").alias("n_chars_c"),
+        F.size(words).cast("long").alias("n_words"),
+    )
+    n_stop = (
+        base.select("doc_id", F.explode("_dw").alias("w"))
+        .join(stop_df, "w")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("_n_stop"))
     )
     d = (
-        docs.withColumn("n_chars_c", F.length(text_col).cast("long"))
-        .withColumn("n_words", F.size(words).cast("long"))
+        base.join(n_stop, "doc_id", "left")
+        .fillna(0, ["_n_stop"])
         .withColumn(
             "stop_ratio_e6",
             F.round(
-                F.size(F.array_intersect(F.array_distinct(words), stop_arr))
-                * 1e6
-                / F.greatest(F.size(F.array_distinct(words)), F.lit(1)),
+                F.col("_n_stop") * 1e6 / F.greatest(F.size("_dw"), F.lit(1))
             ).cast("long"),
         )
         .withColumn(
             "digit_ratio_e6",
             F.round(
-                F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+                F.length(F.regexp_replace(F.col("_t"), "[^0-9]", ""))
                 * 1e6
-                / F.greatest(F.length(text_col), F.lit(1)),
+                / F.greatest(F.length("_t"), F.lit(1)),
             ).cast("long"),
         )
         .withColumn(
             "mean_word_len_e6",
             F.round(
-                (F.length(F.regexp_replace(F.col(text_col), " ", "")))
+                (F.length(F.regexp_replace(F.col("_t"), " ", "")))
                 * 1e6
-                / F.greatest(F.size(words), F.lit(1)),
+                / F.greatest(F.col("n_words"), F.lit(1)),
             ).cast("long"),
         )
     )
@@ -118,18 +132,31 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
     """Bottom-k sketch fingerprint over 8-char shingles (winnowing-style):
     fp = concat of the k smallest distinct md5(shingle) values — robust to
-    small edits. Arrow-batched pandas UDF (hashlib md5 == engine md5)."""
+    small edits.
 
-    @pandas_udf(T.StringType())
-    def fp_udf(texts):
-        def fp(t: str) -> str:
-            t = t or ""
-            hs = {
-                hashlib.md5(t[i : i + 8].encode()).hexdigest()
-                for i in range(0, max(len(t) - 8, 0) + 1)
-            }
-            return "".join(sorted(hs)[:k])
-
-        return texts.map(fp)
-
-    return docs.select("doc_id", fp_udf(F.col(text_col)).alias("fp"))
+    Fully JVM-side set-based plan (whole-stage codegen, no Python): explode
+    shingle start positions, md5 each substring, keep the bottom-k per doc via
+    a window dense_rank (spillable sort — bounded memory even for a single
+    enormous document, unlike a per-doc collect_set of every shingle hash).
+    The post-window groupBy reuses the window's doc_id hash partitioning, so
+    the whole operator costs exactly one shuffle."""
+    sh = (
+        docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+        .select(
+            "doc_id",
+            "_t",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_t") - 8, F.lit(0)) + F.lit(1)
+                )
+            ).alias("i"),
+        )
+        .select("doc_id", F.md5(F.expr("substring(_t, i, 8)")).alias("h"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("h")
+    return (
+        sh.withColumn("_r", F.dense_rank().over(w))
+        .filter(F.col("_r") <= k)
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.array_sort(F.collect_set("h"))).alias("fp"))
+    )

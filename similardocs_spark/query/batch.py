@@ -82,6 +82,7 @@ def _batch_bucket(
     instances: set[str] | None,
     from_str: str,
     to_str: str,
+    use_wand: bool = False,
 ) -> DataFrame:
     spark = engine.spark
     active = [q for q, k in remaining.items() if k > 0 and q in qinfo]
@@ -107,32 +108,49 @@ def _batch_bucket(
             "query_id string, q_rerank array<string>, min2 int, k int, pool int",
         )
     )
-    terms_needed = sorted({t for _, t, _ in qterm_rows})
-    from .engine import _decode_udf
+    if use_wand:
+        # batched per-segment kernel: shared decode, numpy scoring, ≤ pool
+        # rows per (segment, query) enter the plan — no posting×query row
+        # explosion (the decode-join plan below multiplies every decoded
+        # posting by the number of queries containing that term)
+        from .wand import wand_score_batch
 
-    decoded = (
-        engine._postings.filter(F.col("term").isin(terms_needed))
-        .select("term", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
-    )
-    docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
-    if sources is not None:
-        docs = docs.filter(F.col("db").isin(sorted(sources)))
-    if instances is not None:
-        docs = docs.filter(F.col("instance").isin(sorted(instances)))
+        scored = wand_score_batch(
+            engine,
+            {qid: qinfo[qid]["w_idf"] for qid in active},
+            {qid: CANDIDATE_FACTOR * remaining[qid] for qid in active},
+            from_str,
+            to_str,
+            sources,
+            instances,
+        )
+    else:
+        terms_needed = sorted({t for _, t, _ in qterm_rows})
+        from .engine import _decode_udf
 
-    scored = (
-        decoded.join(qterms, "term")
-        .join(docs.select("doc_id", "tfnorm", "db", "instance"), "doc_id")
-        .withColumn(
-            "term_score", (F.col("w_idf").cast("float") * F.col("tfnorm")).cast("float")
+        decoded = (
+            engine._postings.filter(F.col("term").isin(terms_needed))
+            .select("term", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
         )
-        .groupBy("query_id", "doc_id", "db", "instance")
-        .agg(F.sum(F.col("term_score").cast("double")).alias("s"))
-        .withColumn(
-            "score", (F.col("s") + engine._const_for(sources, instances)).cast("float")
+        docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
+        if sources is not None:
+            docs = docs.filter(F.col("db").isin(sorted(sources)))
+        if instances is not None:
+            docs = docs.filter(F.col("instance").isin(sorted(instances)))
+
+        scored = (
+            decoded.join(qterms, "term")
+            .join(docs.select("doc_id", "tfnorm", "db", "instance"), "doc_id")
+            .withColumn(
+                "term_score", (F.col("w_idf").cast("float") * F.col("tfnorm")).cast("float")
+            )
+            .groupBy("query_id", "doc_id", "db", "instance")
+            .agg(F.sum(F.col("term_score").cast("double")).alias("s"))
+            .withColumn(
+                "score", (F.col("s") + engine._const_for(sources, instances)).cast("float")
+            )
+            .select("query_id", "doc_id", "score")
         )
-        .select("query_id", "doc_id", "score")
-    )
     wc = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     cands = (
         scored.withColumn("_r", F.row_number().over(wc))
@@ -168,13 +186,22 @@ def search_batch(
     instances: set[str] | None = None,
     last_days: int | None = None,
     split_time: bool = False,
+    use_wand: bool | None = None,
 ) -> dict[str, list]:
     """→ {query_id: [rows ordered by rank]}; per-query results identical to
-    engine.search(text, ...) with the same settings."""
+    engine.search(text, ...) with the same settings. use_wand=None (default)
+    auto-selects the batched per-segment kernel whenever the union of the
+    batch's terms has enough estimated postings (same policy as
+    SearchEngine.search)."""
     qinfo = _prepare_batch(engine, queries)
     results: dict[str, list] = {qid: [] for qid in queries}
     if not qinfo:
         return results
+    if use_wand is None:
+        union: dict[str, float] = {}
+        for info in qinfo.values():
+            union.update(info["w_idf"])
+        use_wand = engine._wand_auto(union)
     lower = last_days if last_days else MAX_LOWER_LIMIT
     assert lower >= engine.end_days_ago
     upper = engine.end_days_ago
@@ -184,6 +211,7 @@ def search_batch(
         rows = _batch_bucket(
             engine, qinfo, remaining, min_ngrams, sources, instances,
             days_ago_str(engine.today, lower), days_ago_str(engine.today, upper),
+            use_wand,
         ).collect()
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             results[r["query_id"]].append(r)
@@ -200,6 +228,7 @@ def search_batch(
         rows = _batch_bucket(
             engine, qinfo, remaining, min_ngrams, sources, instances,
             days_ago_str(engine.today, begin), days_ago_str(engine.today, end),
+            use_wand,
         ).collect()
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             results[r["query_id"]].append(r)

@@ -46,6 +46,11 @@ from ..oracle.refsearch import (
 from ..synonyms import SynonymDict, expanded_query_terms
 from ..textnorm import query_rerank_tokens, uniform_text
 
+# Auto path selection: below this many estimated postings the decode-join
+# plan costs the same as the kernel; above it, WAND's skip-before-decode wins
+# and the decode-join plan's posting explosion becomes the scale-killer.
+WAND_AUTO_MIN_POSTINGS = 8192
+
 
 @pandas_udf(T.ArrayType(T.LongType()))
 def _decode_udf(blobs: pd.Series) -> pd.Series:
@@ -132,6 +137,16 @@ class SearchEngine:
         }
         return w_idf, query_rerank_tokens(text2)
 
+    def _wand_auto(self, w_idf: dict[str, float]) -> bool:
+        """True when the query's estimated postings volume (Σ df over terms)
+        is big enough that skip-before-decode beats decode-and-explode.
+        Unknown sizes (no preloaded term dict) default to WAND — wrong-by-slow
+        is acceptable for tiny queries; wrong-by-explosion at scale is not."""
+        if self._term_df is None:
+            return True
+        est = sum(self._term_df.get(t, 0) for t in w_idf)
+        return est >= WAND_AUTO_MIN_POSTINGS
+
     def _const_for(self, sources: set[str] | None, instances: set[str] | None):
         """MUST-clause constant score pieces: date range always +1.0; keyword
         filters add a per-value constant → returned as a Column expression."""
@@ -159,9 +174,16 @@ class SearchEngine:
         pool: int,
         sources: set[str] | None,
         instances: set[str] | None,
-        use_wand: bool = False,
+        use_wand: bool | None = None,
     ) -> DataFrame:
-        """Top-`pool` candidates (doc_id, score f32) within a date bucket."""
+        """Top-`pool` candidates (doc_id, score f32) within a date bucket.
+
+        `use_wand=None` (default) auto-selects: WAND whenever the estimated
+        postings volume for the query terms exceeds WAND_AUTO_MIN_POSTINGS
+        (or whenever it is unknown) — the 100-TB-safe default; the
+        decode-join plan is kept only for provably tiny postings sets."""
+        if use_wand is None:
+            use_wand = self._wand_auto(w_idf)
         if use_wand:
             from .wand import wand_score_bucket
 
@@ -216,7 +238,7 @@ class SearchEngine:
         instances: set[str] | None,
         from_str: str,
         to_str: str,
-        use_wand: bool,
+        use_wand: bool | None,
         explain: bool = False,
     ) -> DataFrame:
         min2 = get_min_ngrams(min_ngrams, len(q_rerank))
@@ -269,7 +291,7 @@ class SearchEngine:
         instances: set[str] | None = None,
         last_days: int | None = None,
         split_time: bool = False,
-        use_wand: bool = False,
+        use_wand: bool | None = None,
         explain: bool = False,
     ) -> list:
         """Full reference search; returns collected rows (driver-side result,

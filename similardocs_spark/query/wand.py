@@ -197,6 +197,154 @@ def topk_treereduce(df: DataFrame, k: int) -> list:
     return sorted(((s, -d) for s, d in merged), key=lambda t: (-t[0], t[1]))
 
 
+def batch_score_kernel(
+    key,
+    postings: pd.DataFrame,
+    docs: pd.DataFrame,
+    by_slice: dict[int, dict[str, dict[str, float]]],
+    seg_size: int,
+    pools: dict[str, int],
+) -> pd.DataFrame:
+    """Per-(segment, query-slice) batched scoring: decode every needed
+    posting list ONCE, then scatter-add each query's term contributions into
+    a dense per-segment accumulator (term-at-a-time exhaustive evaluation —
+    for a BATCH the shared decode dominates, so per-query block skipping
+    buys less than decode sharing). Float discipline identical to the
+    single-query kernel: f32 per-term product, f64 accumulate + const,
+    final f32. Emits ≤ pool rows per (segment, query)."""
+    empty = pd.DataFrame(
+        {
+            "query_id": pd.Series(dtype="object"),
+            "doc_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float32"),
+        }
+    )
+    queries = by_slice.get(int(key[1]), {})
+    if len(docs) == 0 or len(postings) == 0 or not queries:
+        return empty
+    seg = int(key[0])
+    base = seg * seg_size
+
+    local = docs["doc_id"].to_numpy() - base
+    n_local = int(local.max()) + 1
+    tfnorm = np.full(n_local, np.nan, dtype=np.float32)
+    tfnorm[local] = docs["tfnorm"].to_numpy(dtype=np.float32)
+    const = np.zeros(n_local, dtype=np.float64)
+    const[local] = docs["const"].to_numpy(dtype=np.float64)
+    allowed = np.zeros(n_local, dtype=bool)
+    allowed[local] = True
+
+    decoded: dict[str, np.ndarray] = {}
+    for row in postings.itertuples(index=False):
+        if row.term not in decoded:
+            ids = codec.decode_docids(bytes(row.blob)) - base
+            # docs outside the filtered window were never materialized in
+            # the dense arrays; clip before indexing (NaN tfnorm + allowed
+            # mask handles in-range disallowed docs)
+            decoded[row.term] = ids[(ids >= 0) & (ids < n_local)]
+
+    frames: list[pd.DataFrame] = []
+    acc = np.zeros(n_local, dtype=np.float64)
+    matched = np.zeros(n_local, dtype=bool)
+    for qid, w_idf in queries.items():
+        terms = [t for t in w_idf if t in decoded]
+        if not terms:
+            continue
+        acc[:] = 0.0
+        matched[:] = False
+        for t in terms:
+            ids = decoded[t]
+            contrib = (np.float32(w_idf[t]) * tfnorm[ids]).astype(np.float32)
+            acc[ids] += contrib.astype(np.float64)
+            matched[ids] = True
+        idxs = np.nonzero(matched & allowed)[0]
+        if idxs.size == 0:
+            continue
+        scores = (acc[idxs] + const[idxs]).astype(np.float32)
+        # exact (score desc, doc_id asc) order; n_local ≤ seg_size so a full
+        # lexsort is micro-cheap and tiebreak-correct at the pool boundary
+        order = np.lexsort((idxs, -scores))[: pools.get(qid, 0)]
+        frames.append(
+            pd.DataFrame(
+                {
+                    "query_id": qid,
+                    "doc_id": (idxs[order] + base).astype(np.int64),
+                    "score": scores[order],
+                }
+            )
+        )
+    return pd.concat(frames, ignore_index=True) if frames else empty
+
+
+def wand_score_batch(
+    engine,
+    w_idf_by_qid: dict[str, dict[str, float]],
+    pools: dict[str, int],
+    from_str: str,
+    to_str: str,
+    sources: set[str] | None,
+    instances: set[str] | None,
+) -> DataFrame:
+    """Per-segment top-`pool` candidates for EVERY query in one cogrouped
+    pass → DataFrame(query_id, doc_id, score f32). Parallelism axis is
+    (segment × query-slice): with few segments (small corpora) the queries
+    are hash-sliced so the kernel still fans out across all executor slots;
+    postings rows are replicated only to the slices whose queries need that
+    term (bounded decode duplication, factor ≤ n_slices)."""
+    import math
+    import zlib
+
+    spark = engine.spark
+    n_segs = max(1, math.ceil(engine.n_docs / engine.seg_size))
+    par = spark.sparkContext.defaultParallelism
+    n_slices = max(1, min(8, math.ceil(par / n_segs)))
+
+    def slice_of(qid: str) -> int:
+        return zlib.crc32(qid.encode()) % n_slices
+
+    by_slice: dict[int, dict[str, dict[str, float]]] = {}
+    term_slices: set[tuple[str, int]] = set()
+    for qid, w_idf in w_idf_by_qid.items():
+        s = slice_of(qid)
+        by_slice.setdefault(s, {})[qid] = w_idf
+        term_slices.update((t, s) for t in w_idf)
+    all_terms = sorted({t for t, _ in term_slices})
+
+    ts_df = F.broadcast(
+        spark.createDataFrame(sorted(term_slices), "term string, slice int")
+    )
+    postings = (
+        engine._postings.filter(F.col("term").isin(all_terms))
+        .select("seg", "term", "blob")
+        .join(ts_df, "term")
+    )
+    docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
+    if sources is not None:
+        docs = docs.filter(F.col("db").isin(sorted(sources)))
+    if instances is not None:
+        docs = docs.filter(F.col("instance").isin(sorted(instances)))
+    slices_df = F.broadcast(
+        spark.createDataFrame([(s,) for s in range(n_slices)], "slice int")
+    )
+    docs = docs.select(
+        "seg",
+        "doc_id",
+        "tfnorm",
+        engine._const_for(sources, instances).alias("const"),
+    ).crossJoin(slices_df)
+
+    seg_size = engine.seg_size
+
+    def kernel(key, p, d):
+        return batch_score_kernel(key, p, d, by_slice, seg_size, pools)
+
+    return (
+        postings.groupBy("seg", "slice")
+        .cogroup(docs.groupBy("seg", "slice"))
+        .applyInPandas(kernel, schema="query_id string, doc_id long, score float")
+    )
+
+
 def wand_score_bucket(
     engine,
     w_idf: dict[str, float],

@@ -40,16 +40,17 @@ def corpus(spark, tmp_path_factory):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize("use_wand", [False, True])
 @pytest.mark.parametrize(
     "mode",
     [dict(), dict(split_time=True), dict(sources={"MEDLINE", "LILACS"}), dict(max_docs=20)],
 )
-def test_batch_matches_oracle(corpus, mode):
+def test_batch_matches_oracle(corpus, mode, use_wand):
     engine, oracle = corpus
-    res = engine.search_batch(dict(REFERENCE_QUERIES), **mode)
+    res = engine.search_batch(dict(REFERENCE_QUERIES), use_wand=use_wand, **mode)
     for qname, text in REFERENCE_QUERIES.items():
         exp = oracle.search(text, **mode)
-        assert_hits_equal(res[qname], exp, f"batch {qname} {mode}")
+        assert_hits_equal(res[qname], exp, f"batch {qname} {mode} wand={use_wand}")
 
 
 @pytest.mark.spark

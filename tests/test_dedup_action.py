@@ -1,0 +1,89 @@
+"""Doc-level deduplicate() action: exact keeper selection, LSH
+connected-component collapse, and the degenerate mass-duplicate case that
+must NOT trigger a quadratic bucket join (VERDICT round-1 item 5/7)."""
+from __future__ import annotations
+
+import pytest
+
+NEAR_A = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR_B = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+NEAR_C = "a quick brown fox jumps over the lazy dog near the river bank today"
+OTHER = "completely different subject matter about spark distributed query engines"
+
+
+@pytest.mark.spark
+def test_deduplicate_exact_only(spark):
+    from similardocs_spark.operators.dedup import deduplicate
+
+    docs = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "ccc"), (5, "bbb"), (6, "aaa")],
+        "doc_id long, text string",
+    )
+    got = sorted(r["doc_id"] for r in deduplicate(docs, near=False).collect())
+    assert got == [1, 2, 4]
+
+
+@pytest.mark.spark
+def test_deduplicate_near_collapses_lsh_components(spark):
+    from similardocs_spark.operators.dedup import deduplicate, minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(10, NEAR_A), (11, NEAR_B), (12, NEAR_C), (20, OTHER), (21, NEAR_A)],
+        "doc_id long, text string",
+    )
+    # sanity: the near-trio really does produce LSH candidate pairs
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert pairs, "fixture texts must collide in at least one LSH band"
+
+    got = sorted(r["doc_id"] for r in deduplicate(docs).collect())
+
+    # expected survivors: min doc_id of each connected component over the
+    # exact-collapsed ids {10, 11, 12, 20} (21 is an exact dup of 10)
+    parent = {d: d for d in (10, 11, 12, 20)}
+
+    def find(x):
+        while parent[x] != x:
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(max(a, b))] = find(min(a, b))
+    expected = sorted({find(d) for d in parent})
+    assert got == expected
+    assert 21 not in got and 10 in got and 20 in got
+
+
+@pytest.mark.spark
+def test_deduplicate_mass_duplicates_no_pair_explosion(spark):
+    """10k identical docs: the exact-collapse prepass must reduce them to one
+    representative BEFORE the LSH band join, so no O(n^2) pair stage runs."""
+    from similardocs_spark.operators.dedup import deduplicate, minhash_lsh_pairs
+
+    rows = [(i, "same boilerplate text repeated across the whole corpus badly")
+            for i in range(10_000)]
+    rows.append((10_000, OTHER))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert minhash_lsh_pairs(docs).count() == 0  # reps only: nothing to pair
+    got = sorted(r["doc_id"] for r in deduplicate(docs).collect())
+    assert got == [0, 10_000]
+
+
+@pytest.mark.spark
+def test_lsh_bucket_cap_and_audit(spark):
+    """Distinct texts engineered into one bucket beyond the cap are skipped
+    from the pair join but visible via lsh_oversized_buckets (no silent cap)."""
+    from similardocs_spark.operators.dedup import (
+        lsh_oversized_buckets,
+        minhash_lsh_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, NEAR_A + f" tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_pairs(docs, max_bucket=2000).count()
+    capped = minhash_lsh_pairs(docs, max_bucket=2).count()
+    assert capped < uncapped
+    audited = lsh_oversized_buckets(docs, max_bucket=2).collect()
+    assert audited and all(r["bucket_size"] > 2 for r in audited)

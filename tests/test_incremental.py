@@ -101,6 +101,68 @@ def test_incremental_merge_matches_oracle(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_incremental_crash_repair(spark, tmp_path, monkeypatch):
+    """A merge that dies between the staging write and the live commit leaves
+    the live table's pre-image intact; resume_incremental redoes the commit
+    from staging and converges to the uninterrupted result."""
+    import similardocs_spark.index.incremental as I
+
+    base = transcripts_df(spark, n_convs=40, seed=42)
+    delta = (
+        base.filter(F.col("conv_id") < "conv00000006")
+        .withColumn("text", F.concat(F.lit("dengue zika atualizado "), "text"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 3000 DAYS"))
+    ).unionByName(
+        transcripts_df(spark, n_convs=4, seed=7).withColumn(
+            "conv_id", F.concat(F.lit("nv"), "conv_id")
+        )
+    )
+
+    root_a, root_b = str(tmp_path / "a"), str(tmp_path / "b")
+    for root in (root_a, root_b):
+        build_index(spark, base, root, seg_size=16)
+    incremental_update(spark, IndexPaths(root_a), delta)  # uninterrupted twin
+
+    def read_docs(root):
+        return sorted(
+            (r["doc_id"], r["conv_id"], r["update_date"], r["dl"])
+            for r in spark.read.parquet(os.path.join(root, "docs"))
+            .select("doc_id", "conv_id", "update_date", "dl")
+            .collect()
+        )
+
+    pre_image = read_docs(root_b)
+    monkeypatch.setattr(
+        I, "_commit_staged",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("simulated crash")),
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        incremental_update(spark, IndexPaths(root_b), delta)
+    monkeypatch.undo()
+
+    paths_b = IndexPaths(root_b)
+    assert os.path.exists(paths_b.docs + ".staging")
+    assert read_docs(root_b) == pre_image  # live table untouched by the crash
+
+    rep = I.resume_incremental(spark, paths_b)
+    assert rep["repaired_segs"] > 0
+    assert not os.path.exists(paths_b.docs + ".staging")
+    assert read_docs(root_b) == read_docs(root_a)
+
+    # postings equality too (repair rebuilt the affected segments)
+    def read_postings(root):
+        return sorted(
+            (r["seg"], r["term"], bytes(r["blob"]))
+            for r in spark.read.parquet(os.path.join(root, "postings"))
+            .select("seg", "term", "blob")
+            .collect()
+        )
+
+    assert read_postings(root_b) == read_postings(root_a)
+    assert I.resume_incremental(spark, paths_b) == {"repaired_segs": 0}  # no-op
+
+
+@pytest.mark.spark
 def test_resume_skips_done_segments(spark, tmp_path):
     """Interrupted build (only 1 of 3 batches committed) resumes without
     recomputing the committed segments, and the final index equals a fresh

@@ -64,3 +64,57 @@ def test_inspect_tools(engine):
     assert ex["or_total_postings"] >= ex["and_total_docs"] > 0
 
     assert index_test(engine, "dengue") > 0
+
+
+@pytest.mark.spark
+def test_term_search_show_docs_new_ids(engine):
+    from similardocs_spark.index.inspect import (
+        show_docs,
+        show_new_doc_ids,
+        term_search,
+    )
+
+    # postings probe: term df must equal the id list length (small index)
+    got = term_search(engine, "term", "dengue")
+    assert got["hits"] == len(got["doc_ids"]) > 0
+    assert got["doc_ids"] == sorted(got["doc_ids"])
+    # stored-field probe
+    byconv = term_search(engine, "conv_id", "conv00000003")
+    assert byconv["hits"] == 1
+
+    one = show_docs(engine, doc_id=byconv["doc_ids"][0])
+    assert len(one) == 1 and one[0]["conv_id"] == "conv00000003"
+    alldocs = show_docs(engine)
+    assert len(alldocs) == 50
+    assert [r["doc_id"] for r in alldocs] == sorted(r["doc_id"] for r in alldocs)
+
+    recent = show_new_doc_ids(engine, days=100_000)
+    assert recent and all(r["update_date"] <= "99999999" for r in recent)
+    assert len(recent) >= len(show_new_doc_ids(engine, days=30))
+
+
+def test_ngram_text_scalar():
+    from similardocs_spark.functions.ngram_text import ngram_text, token_stream
+
+    # 'dengue' appears 3×, 'zika' 2×, 'febre' 1× — rank by freq then first pos
+    text = "Dengue zika dengue febre ZIKA dengue"
+    assert token_stream(text) == ["dengue", "zika", "dengue", "febre", "zika", "dengue"]
+    assert ngram_text(text, 2) == "dengue zika"
+    assert ngram_text(text, 10) == "dengue zika febre"
+    assert ngram_text("the and of", 3) is None  # all stopwords → None
+    assert ngram_text("", 3) is None
+    # prefix-6 truncation + tie broken by first occurrence
+    assert ngram_text("calamidade zumbido calamares", 3) == "calami zumbid calama"
+
+
+@pytest.mark.spark
+def test_ngram_text_col(spark):
+    from similardocs_spark.functions.ngram_text import ngram_text, ngram_text_col
+
+    docs = spark.createDataFrame(
+        [(1, "Dengue zika dengue febre ZIKA dengue"), (2, "the and of"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["ngram_text"] for r in ngram_text_col(docs, num_tokens=2).collect()}
+    assert rows[1] == ngram_text("Dengue zika dengue febre ZIKA dengue", 2)
+    assert rows[2] is None and rows[3] is None
