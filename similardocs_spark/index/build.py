@@ -215,6 +215,13 @@ def build_index(
     read-back counting job (rows are logged as -1)."""
     paths = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
+    from .catalog import get_io
+
+    io = get_io(spark, root)
+    # every index self-describes its commit substrate (parquet vs iceberg);
+    # the lineage journal itself stays parquet — it is the build's own
+    # crash-repair record and must be readable before any catalog exists
+    _log_lineage(spark, paths, [("substrate", -1, 0, 0, io.mode)])
     timing = os.environ.get("SIMDOCS_BUILD_TIMING")
 
     def _t(label: str, t0: float) -> float:
@@ -242,40 +249,43 @@ def build_index(
             t0 = _t("staging write", t0)
             docs = assign_doc_ids(spark.read.parquet(staging))
         docs = docs.withColumn("seg", (F.col("doc_id") / F.lit(seg_size)).cast("long"))
-        (
+        out_docs = (
             docs.select(
                 "doc_id", "conv_id", "seg", "db", "instance", "update_date",
                 "dl", "dlq", F.col("rr_tokens").alias("rerank_tokens"),
                 "tokens",
             )
-            # hash repartition, NOT repartitionByRange: range partitioning
-            # SAMPLES its input, which would re-run the whole tokenizer chain
-            # as an extra pass; and NOT repartition("seg"), which caps write
-            # parallelism at #segs. Files are still doc_id-sorted internally.
-            .repartition(spark.sparkContext.defaultParallelism, "seg", "doc_id")
+            # NO pre-write shuffle: measured A/B showed repartition(seg,
+            # doc_id) costs a full shuffle of the token-heavy rows and buys
+            # nothing — hash(seg, doc_id) scatters rows so each task still
+            # writes one file per seg it touches (identical file count), and
+            # the task-local sort below already gives in-file doc_id order.
+            # (repartitionByRange would be worse still: its sampling pass
+            # re-runs the whole tokenizer chain.)
             .sortWithinPartitions("seg", "doc_id")
-            .write.partitionBy("seg")
-            .mode("overwrite")
-            .parquet(paths.docs)
         )
+        io.overwrite_partitioned(out_docs, paths.docs)
         t0 = _t("docs write", t0)
         if doc_id_expr is None:
             import shutil
 
             shutil.rmtree(os.path.join(root, "_staging_docs"), ignore_errors=True)
 
-        docs_w = spark.read.parquet(paths.docs)
+        docs_w = io.read(spark, paths.docs)
         stats = docs_w.agg(
             F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
         ).collect()[0]
         t0 = _t("stats agg", t0)
         n_docs, sum_dl = stats["n_docs"], stats["sum_dl"] or 0
         avgdl = float(sum_dl) / max(1, n_docs)
-        small_df(
-            spark,
-            [(n_docs, int(sum_dl), avgdl, seg_size)],
-            "n_docs long, sum_dl long, avgdl double, seg_size long",
-        ).write.mode("overwrite").parquet(paths.stats)
+        io.overwrite(
+            small_df(
+                spark,
+                [(n_docs, int(sum_dl), avgdl, seg_size)],
+                "n_docs long, sum_dl long, avgdl double, seg_size long",
+            ),
+            paths.stats,
+        )
         t0 = _t("stats write", t0)
         _log_lineage(spark, paths, [("docs", -1, n_docs, _dir_bytes(paths.docs), "done")])
         t0 = _t("stats lineage", t0)
@@ -294,11 +304,12 @@ def build_index(
                     .agg(F.count("*").alias("df"))
                 )
             )
-            meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+            io.overwrite(meta.coalesce(1), paths.meta_stats)
         else:
-            small_df(spark, [], "field string, value string, df long").write.mode(
-                "overwrite"
-            ).parquet(paths.meta_stats)
+            io.overwrite(
+                small_df(spark, [], "field string, value string, df long"),
+                paths.meta_stats,
+            )
         t0 = _t("meta stats", t0)
 
     build_postings(
@@ -324,10 +335,13 @@ def build_postings(
     """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
     block-max metadata. Committed in seg batches (resume skips done ones).
     `docs_df` (e.g. the build's cached docs) avoids the parquet re-read."""
+    from .catalog import get_io
+
+    io = get_io(spark, paths.root)
     docs = (
         docs_df
         if docs_df is not None
-        else spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+        else io.read(spark, paths.docs).withColumn("seg", F.col("seg").cast("long"))
     )
     segs = sorted(int(r["seg"]) for r in docs.select("seg").distinct().collect())
     batches = [segs[i::seg_batches] for i in range(seg_batches)]
@@ -359,18 +373,14 @@ def build_postings(
         # Dynamic partition overwrite touches ONLY this batch's seg dirs —
         # an idempotent per-segment commit (a crash between write and lineage
         # log is repaired by redoing the batch; no duplicate rows possible)
-        (
-            encoded.sortWithinPartitions("seg", "term")
-            .write.partitionBy("seg")
-            .option("partitionOverwriteMode", "dynamic")
-            .mode("overwrite")
-            .parquet(paths.postings)
+        io.overwrite_dynamic(
+            encoded.sortWithinPartitions("seg", "term"), paths.postings
         )
         rows_by_seg = {}
         if lineage_counts:
             rows_by_seg = {
                 r["seg"]: r["cnt"]
-                for r in spark.read.parquet(paths.postings)
+                for r in io.read(spark, paths.postings)
                 .filter(F.col("seg").isin([int(s) for s in batch]))
                 .groupBy("seg")
                 .agg(F.count("*").alias("cnt"))
@@ -396,14 +406,17 @@ def build_postings(
 def build_terms(spark: SparkSession, paths: IndexPaths) -> None:
     """Global term stats: df = Σ per-segment df (two-phase agg: the partial
     per-(seg,term) counts already exist → map-side combine into global)."""
-    n_docs = spark.read.parquet(paths.stats).collect()[0]["n_docs"]
-    postings = spark.read.parquet(paths.postings)
+    from .catalog import get_io
+
+    io = get_io(spark, paths.root)
+    n_docs = io.read(spark, paths.stats).collect()[0]["n_docs"]
+    postings = io.read(spark, paths.postings)
     terms = postings.groupBy("term").agg(F.sum("df_seg").alias("df"))
     terms = terms.withColumn(
         "idf",
         F.log1p((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)).cast("float"),
     )
-    terms.write.mode("overwrite").parquet(paths.terms)
+    io.overwrite(terms, paths.terms)
 
 
 # ------------------------------------------------------------------- lineage

@@ -1,0 +1,138 @@
+"""Storage-substrate shim: Iceberg tables when the runtime jar is on the
+classpath, plain parquet paths otherwise.
+
+The north_rule names Iceberg as the table substrate (MERGE INTO, snapshot
+commits, per-partition checkpoints). This sandbox ships no Iceberg runtime
+jar (verified: `org.apache.iceberg.*` absent from the classpath, no network
+to fetch one), so the default mode implements the same commit semantics by
+hand on parquet paths:
+
+| Iceberg operation            | parquet-mode equivalent                     |
+|------------------------------|---------------------------------------------|
+| overwritePartitions snapshot | dynamic partition overwrite of seg= dirs    |
+| MERGE INTO                   | staged two-phase merge (incremental.py)     |
+| snapshot lineage             | lineage/ journal rows (build._log_lineage)  |
+| createOrReplace              | mode("overwrite") parquet write             |
+
+When the jar IS present (a real deployment), `get_io` returns IcebergIO,
+which maps every write onto native Iceberg table operations via a Hadoop
+catalog warehoused at the index root — the rest of the build/query code is
+substrate-blind: it only ever calls the TableIO methods and reads back via
+`io.read(path)`. The active substrate is recorded in the lineage journal
+(phase="substrate") so every index self-describes how it was committed.
+"""
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+CATALOG_NAME = "simdocs"
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True iff the Iceberg runtime is loadable in the driver JVM."""
+    try:
+        spark._jvm.java.lang.Class.forName(  # type: ignore[union-attr]
+            "org.apache.iceberg.catalog.Catalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class ParquetIO:
+    """Default substrate: parquet paths + hand-rolled commit semantics
+    (exactly the write patterns the build used before this shim existed)."""
+
+    mode = "parquet"
+
+    def overwrite_partitioned(self, df: DataFrame, path: str, col: str = "seg") -> None:
+        """Full overwrite of a partitioned table (createOrReplace)."""
+        df.write.partitionBy(col).mode("overwrite").parquet(path)
+
+    def overwrite_dynamic(self, df: DataFrame, path: str, col: str = "seg") -> None:
+        """Replace ONLY the partitions present in df (overwritePartitions
+        snapshot): the idempotent per-segment commit unit."""
+        (
+            df.write.partitionBy(col)
+            .option("partitionOverwriteMode", "dynamic")
+            .mode("overwrite")
+            .parquet(path)
+        )
+
+    def overwrite(self, df: DataFrame, path: str) -> None:
+        df.write.mode("overwrite").parquet(path)
+
+    def append(self, df: DataFrame, path: str) -> None:
+        mode = "append" if os.path.exists(path) else "overwrite"
+        df.write.mode(mode).parquet(path)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(path)
+
+
+class IcebergIO:
+    """Iceberg substrate: a Hadoop catalog warehoused at the index root;
+    every table is `simdocs.index.<basename>`. Requires the runtime jar
+    (iceberg-spark-runtime) on the classpath — constructing this without it
+    raises immediately rather than failing mid-build.
+
+    NOTE: exercised only on deployments that ship the jar; in this sandbox
+    get_io() always selects ParquetIO (see module docstring)."""
+
+    mode = "iceberg"
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "IcebergIO requested but no Iceberg runtime jar on the "
+                "classpath (org.apache.iceberg.catalog.Catalog not loadable)"
+            )
+        self.spark = spark
+        spark.conf.set(
+            f"spark.sql.catalog.{CATALOG_NAME}",
+            "org.apache.iceberg.spark.SparkCatalog",
+        )
+        spark.conf.set(f"spark.sql.catalog.{CATALOG_NAME}.type", "hadoop")
+        spark.conf.set(f"spark.sql.catalog.{CATALOG_NAME}.warehouse", warehouse)
+
+    @staticmethod
+    def _ident(path: str) -> str:
+        base = re.sub(r"[^A-Za-z0-9_]", "_", os.path.basename(path.rstrip("/")))
+        return f"{CATALOG_NAME}.index.{base}"
+
+    def overwrite_partitioned(self, df: DataFrame, path: str, col: str = "seg") -> None:
+        df.writeTo(self._ident(path)).using("iceberg").partitionedBy(
+            col
+        ).createOrReplace()
+
+    def overwrite_dynamic(self, df: DataFrame, path: str, col: str = "seg") -> None:
+        # native snapshot commit: replaces exactly the partitions in df
+        df.writeTo(self._ident(path)).overwritePartitions()
+
+    def overwrite(self, df: DataFrame, path: str) -> None:
+        df.writeTo(self._ident(path)).using("iceberg").createOrReplace()
+
+    def append(self, df: DataFrame, path: str) -> None:
+        ident = self._ident(path)
+        try:
+            df.writeTo(ident).append()
+        except Exception:
+            df.writeTo(ident).using("iceberg").create()
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.table(self._ident(path))
+
+
+def get_io(spark: SparkSession, root: str) -> ParquetIO | IcebergIO:
+    """Select the substrate: Iceberg when its runtime is loadable AND not
+    explicitly disabled (SIMDOCS_SUBSTRATE=parquet forces parquet; =iceberg
+    forces Iceberg and fails fast if the jar is absent)."""
+    forced = os.environ.get("SIMDOCS_SUBSTRATE", "").lower()
+    if forced == "parquet":
+        return ParquetIO()
+    if forced == "iceberg":
+        return IcebergIO(spark, root)
+    return IcebergIO(spark, root) if iceberg_available(spark) else ParquetIO()

@@ -38,11 +38,14 @@ def incremental_update(
     docs_meta: DataFrame | None = None,
 ) -> dict[str, int]:
     """Apply a transcript delta to an existing index. Returns counters."""
-    stats_row = spark.read.parquet(paths.stats).collect()[0]
+    from .catalog import get_io
+
+    io = get_io(spark, paths.root)
+    stats_row = io.read(spark, paths.stats).collect()[0]
     seg_size = int(stats_row["seg_size"])
 
     incoming = tokenize_docs(assemble_docs(new_transcripts, docs_meta))
-    old = spark.read.parquet(paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    old = io.read(spark, paths.docs).withColumn("seg", F.col("seg").cast("long"))
     old_keys = old.select(
         "conv_id",
         F.col("doc_id").alias("_old_id"),
@@ -104,13 +107,11 @@ def incremental_update(
     # from staging, never from the table it is destroying, so a crash
     # mid-commit is repairable (resume_incremental) instead of data loss.
     stage = paths.docs + ".staging"
-    (
-        survivors.unionByName(changed)
-        .repartitionByRange(spark.sparkContext.defaultParallelism, "seg", "doc_id")
-        .sortWithinPartitions("seg", "doc_id")
-        .write.partitionBy("seg")
-        .mode("overwrite")
-        .parquet(stage)
+    # task-local sort only — no pre-write shuffle (same A/B finding as the
+    # full build's docs write; see build.build_index)
+    io.overwrite_partitioned(
+        survivors.unionByName(changed).sortWithinPartitions("seg", "doc_id"),
+        stage,
     )
     changed.unpersist()
     _log_lineage(
@@ -142,17 +143,15 @@ def _commit_staged(
     """Swap staged segment docs into the live table, rebuild the affected
     segments' postings, refresh stats/terms/meta, drop the staging dir.
     Idempotent: re-running after a crash anywhere in here converges."""
+    from .catalog import get_io
+
+    io = get_io(spark, paths.root)
     staged = spark.read.parquet(stage).withColumn("seg", F.col("seg").cast("long"))
-    (
-        staged.write.partitionBy("seg")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(paths.docs)
-    )
+    io.overwrite_dynamic(staged, paths.docs)
 
     # rebuild postings for affected segments only
     docs = (
-        spark.read.parquet(paths.docs)
+        io.read(spark, paths.docs)
         .withColumn("seg", F.col("seg").cast("long"))
         .filter(F.col("seg").isin(affected))
     )
@@ -162,25 +161,22 @@ def _commit_staged(
     # already range-partitioned + sorted on (seg, term) by the sort-build
     # shuffle; a second repartitionByRange would re-run the encode pipeline
     # for RangePartitioner sampling (see build.build_postings)
-    (
-        encoded.sortWithinPartitions("seg", "term")
-        .write.partitionBy("seg")
-        .option("partitionOverwriteMode", "dynamic")
-        .mode("overwrite")
-        .parquet(paths.postings)
-    )
+    io.overwrite_dynamic(encoded.sortWithinPartitions("seg", "term"), paths.postings)
 
     # refresh corpus stats, term dictionary, meta stats
-    full = spark.read.parquet(paths.docs)
+    full = io.read(spark, paths.docs)
     agg = full.agg(F.count("*").alias("n"), F.sum("dl").alias("s")).collect()[0]
     n_docs, sum_dl = int(agg["n"]), int(agg["s"] or 0)
     from .build import small_df
 
-    small_df(
-        spark,
-        [(n_docs, sum_dl, sum_dl / max(1, n_docs), seg_size)],
-        "n_docs long, sum_dl long, avgdl double, seg_size long",
-    ).write.mode("overwrite").parquet(paths.stats)
+    io.overwrite(
+        small_df(
+            spark,
+            [(n_docs, sum_dl, sum_dl / max(1, n_docs), seg_size)],
+            "n_docs long, sum_dl long, avgdl double, seg_size long",
+        ),
+        paths.stats,
+    )
     build_terms(spark, paths)
     meta = (
         full.filter(F.col("db").isNotNull())
@@ -192,7 +188,7 @@ def _commit_staged(
             .agg(F.count("*").alias("df"))
         )
     )
-    meta.coalesce(1).write.mode("overwrite").parquet(paths.meta_stats)
+    io.overwrite(meta.coalesce(1), paths.meta_stats)
     import shutil
 
     shutil.rmtree(stage, ignore_errors=True)
@@ -208,7 +204,9 @@ def resume_incremental(spark: SparkSession, paths: IndexPaths) -> dict[str, int]
     stage = paths.docs + ".staging"
     if not os.path.exists(stage):
         return {"repaired_segs": 0}
-    stats_row = spark.read.parquet(paths.stats).collect()[0]
+    from .catalog import get_io
+
+    stats_row = get_io(spark, paths.root).read(spark, paths.stats).collect()[0]
     seg_size = int(stats_row["seg_size"])
     staged = spark.read.parquet(stage)
     affected = sorted(

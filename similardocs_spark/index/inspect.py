@@ -120,6 +120,28 @@ def show_new_doc_ids(engine, days: int, max_docs: int = 1000) -> list:
     )
 
 
+def iterate_documents(engine, page_size: int = 1000, fields: list[str] | None = None):
+    """Paginated full-index scan (DocumentIterator.scala:56-64, K5): yields
+    stored-field rows in docID order, one bounded page per round trip —
+    keyset pagination on the dense docID, so each page is a pushed-down
+    range filter + limit, never OFFSET (which would rescan from zero) and
+    never a whole-table collect."""
+    cols = fields or STORED_FIELDS
+    last = -1
+    while True:
+        page = (
+            engine._docs.filter(F.col("doc_id") > last)
+            .orderBy("doc_id")
+            .limit(page_size)
+            .select(*cols)
+            .collect()
+        )
+        if not page:
+            return
+        yield from page
+        last = page[-1]["doc_id"]
+
+
 def index_test(engine, term: str = "dengue") -> int:
     """Index sanity probe (IndexTest.scala:19-76): n_docs > 0 and term df."""
     assert engine.n_docs > 0

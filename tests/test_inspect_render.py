@@ -93,6 +93,19 @@ def test_term_search_show_docs_new_ids(engine):
     assert len(recent) >= len(show_new_doc_ids(engine, days=30))
 
 
+@pytest.mark.spark
+def test_iterate_documents_pagination(engine):
+    from similardocs_spark.index.inspect import iterate_documents, show_docs
+
+    pages = list(iterate_documents(engine, page_size=7))
+    assert [r["doc_id"] for r in pages] == sorted(r["doc_id"] for r in pages)
+    assert len(pages) == 50
+    assert [r["doc_id"] for r in pages] == [r["doc_id"] for r in show_docs(engine)]
+    assert [r["conv_id"] for r in iterate_documents(engine, page_size=1000)] == [
+        r["conv_id"] for r in pages
+    ]
+
+
 def test_ngram_text_scalar():
     from similardocs_spark.functions.ngram_text import ngram_text, token_stream
 
