@@ -10,7 +10,7 @@ Protocol (what VERDICT r1 asked for, plus the sandbox-physics control):
    that core range (the 32 "vCPUs" of this Firecracker guest deliver ~23-24
    effective cores when all are busy — measured, not assumed).
 2. ENGINE PAIRS under local-cluster[E,C,M] — real executor JVMs with their
-   own shuffle servers and Python worker pools, fixed 128-partition plan:
+   own shuffle servers and Python worker pools, fixed 64-partition plan:
      pair A: 1x2 -> 4x2  (N=1 executor/2 cores -> 4N executors, host-linear
              core range: the ceiling probe shows ~0.9+ here)
      pair B: 2x4 -> 8x4  (8 -> 32 cores, the range where the host itself
@@ -19,7 +19,7 @@ Protocol (what VERDICT r1 asked for, plus the sandbox-physics control):
 
 Writes BENCH_SCALING.json. Usage:
   python scripts/scaling_cluster.py [--rounds 2] [--convs 300000]
-  [--queries 576] [--pairs 1x2:4x2,2x4:8x4] [--mem-mb 4096]
+  [--queries 1152] [--pairs 1x2:4x2,2x4:8x4] [--mem-mb 4096]
 """
 from __future__ import annotations
 
@@ -44,9 +44,11 @@ spark = (
     SparkSession.builder.master(f"local-cluster[{{execs}},{{cores}},{{mem_mb}}]")
     .appName(f"scaling-{{execs}}x{{cores}}")
     # FIXED task count across parallelism levels (cluster-scaling protocol:
-    # same plan, same partitioning, different executor slots)
-    .config("spark.sql.shuffle.partitions", "128")
-    .config("spark.default.parallelism", "128")
+    # same plan, same partitioning, different executor slots). 64, not 128:
+    # measured -31%% on the batch path (128 tiny tasks per shuffle were
+    # scheduling-dominated at this corpus scale)
+    .config("spark.sql.shuffle.partitions", "64")
+    .config("spark.default.parallelism", "64")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.execution.arrow.pyspark.enabled", "true")
     .config("spark.driver.memory", "8g")
@@ -155,7 +157,7 @@ def main() -> None:
                    help="interleaved A/B repetitions; min per config kept "
                         "(the sandbox host has bursty CPU steal)")
     p.add_argument("--convs", type=int, default=300000)
-    p.add_argument("--queries", type=int, default=576)
+    p.add_argument("--queries", type=int, default=1152)
     p.add_argument("--pairs", default="1x2:4x2,2x4:8x4",
                    help="comma list of ExC:ExC local-cluster pairs")
     p.add_argument("--out", default="BENCH_SCALING.json")
@@ -174,7 +176,7 @@ def main() -> None:
     result = {
         "protocol": (
             "local-cluster process isolation (real executor JVMs), fixed "
-            "128-partition plan, interleaved best-of-{} rounds; host CPU "
+            "64-partition plan, interleaved best-of-{} rounds; host CPU "
             "ceiling measured via pure multiprocessing burn (no Spark)".format(
                 args.rounds
             )

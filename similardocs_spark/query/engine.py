@@ -293,12 +293,24 @@ class SearchEngine:
         split_time: bool = False,
         use_wand: bool | None = None,
         explain: bool = False,
+        parse_syntax: bool = False,
     ) -> list:
         """Full reference search; returns collected rows (driver-side result,
         like the reference servlet). Each row: doc_id, conv_id, score,
         n_common, update_date; with explain=True each result also carries
         `.ngrams` = (original, similar, common) token lists (the reference's
-        `explain` servlet parameter — SimDocsSearch.scala:98-106)."""
+        `explain` servlet parameter — SimDocsSearch.scala:98-106).
+
+        parse_syntax=True first runs query/parse.sanitize_query (the Lucene
+        QueryParser edge: paren strip, boolean-marker drop, field:value →
+        db/instance filters — SimDocsSearch.scala:395-403); explicit
+        sources/instances arguments take precedence over parsed ones."""
+        if parse_syntax:
+            from .parse import sanitize_query
+
+            text, p_sources, p_instances = sanitize_query(text)
+            sources = sources if sources is not None else p_sources
+            instances = instances if instances is not None else p_instances
         prep = self.prepare(text)
         if prep is None:
             return []
