@@ -213,6 +213,82 @@ FROM prod ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 10
 """
 
 
+# ------------------------------------------ 15b. embedding near-dup pairs
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs (threshold 0.4 — the sf0.01
+    embeddings are random normals, max pairwise cosine ≈ 0.51). The LSH
+    variant (ann.embedding_near_dup_pairs) is pytest-verified against this."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.embedding_near_dup_pairs_exact(emb, threshold=0.4).orderBy(
+        "vec_a", "vec_b"
+    )
+
+
+SQL_EMBED_NEAR_DUPS = """
+WITH prod AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SUM(CAST(a.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE)) AS dot,
+         SUM(CAST(a.embedding[u.i] AS DOUBLE) * CAST(a.embedding[u.i] AS DOUBLE)) AS na,
+         SUM(CAST(b.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE)) AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+       UNNEST(generate_series(1, len(a.embedding))) u(i)
+  GROUP BY a.vec_id, b.vec_id
+),
+scored AS (
+  SELECT vec_a, vec_b,
+         CAST(ROUND(dot / (sqrt(na) * sqrt(nb)) * 1e6) AS BIGINT) AS cosine_e6
+  FROM prod
+)
+SELECT vec_a, vec_b, cosine_e6 FROM scored
+WHERE cosine_e6 >= 400000 ORDER BY vec_a, vec_b
+"""
+
+
+# --------------------------------------------------- 15c. ngram_text (T11)
+
+
+_NGT_TOKENS = 5
+
+
+def q_ngram_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NGramText library transform over the documents table (functions/
+    ngram_text.py): top-5 analyzer tokens by (pre-dedup frequency desc,
+    first occurrence asc), space-joined."""
+    from .functions.ngram_text import ngram_text_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_text_col(docs, num_tokens=_NGT_TOKENS).select(
+        "doc_id", "ngram_text"
+    ).orderBy("doc_id")
+
+
+SQL_NGRAM_TEXT = f"""
+WITH {sqlgen.stopword_cte()},
+raw AS (
+  SELECT doc_id, u.i AS i, w.l[u.i] AS t
+  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS l FROM documents) w,
+       UNNEST(generate_series(1, len(w.l))) u(i)
+),
+terms AS (
+  SELECT doc_id, i, substr(t, 1, 6) AS term
+  FROM raw WHERE len(t) >= 3 AND t NOT IN (SELECT w FROM stop)
+),
+agg AS (SELECT doc_id, term, COUNT(*) AS cnt, MIN(i) AS fpos
+        FROM terms GROUP BY doc_id, term),
+ranked AS (SELECT doc_id, term,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY cnt DESC, fpos ASC) AS r
+           FROM agg),
+joined AS (SELECT doc_id, string_agg(term, ' ' ORDER BY r) AS ngram_text
+           FROM ranked WHERE r <= {_NGT_TOKENS} GROUP BY doc_id)
+SELECT d.doc_id, j.ngram_text
+FROM documents d LEFT JOIN joined j ON d.doc_id = j.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ------------------------------------------------------------------ 16. langid
 
 
@@ -401,6 +477,8 @@ OPS_QUERIES = {
     "simhash": q_simhash,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "embed_near_dups": q_embed_near_dups,
+    "ngram_text": q_ngram_text,
     "langid": q_langid,
     "quality": q_quality,
     "token_counts": q_token_counts,
@@ -415,6 +493,8 @@ OPS_SQL = {
     "simhash": SQL_SIMHASH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
+    "embed_near_dups": SQL_EMBED_NEAR_DUPS,
+    "ngram_text": SQL_NGRAM_TEXT,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -61,6 +61,87 @@ def lsh_bucket_col(vec_col, planes: np.ndarray):
     return bucket
 
 
+def embedding_near_dup_pairs_exact(
+    embeddings: DataFrame, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding-cosine near-duplicate pairs: all pairs with
+    cosine ≥ threshold. All-pairs self-join — O(n²), the oracle baseline for
+    bounded corpora and the correctness reference for the LSH variant below
+    (same split as cosine_topk vs lsh_cosine_topk). Never run this at 100 TB;
+    that is what embedding_near_dup_pairs is for."""
+    a = embeddings.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine_e6",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+                * 1e6
+            ).cast("long"),
+        )
+        .filter(F.col("cosine_e6") >= int(round(threshold * 1e6)))
+        .select("vec_a", "vec_b", "cosine_e6")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, threshold: float = 0.9, bits: int = 6,
+    tables: int = 2, seed: int = 42, max_bucket: int = 2000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
+    buckets (multiple independent tables union'd for recall), within-bucket
+    self-join only, exact cosine verification of candidates, bucket-size cap
+    (one hot bucket would make the join O(|bucket|²) — same guard as
+    minhash_lsh_pairs). Candidate recall is probabilistic (pytest-verified
+    against the exact operator); every emitted pair is exactly verified."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    pair_frames = []
+    for t in range(tables):
+        planes = hyperplanes(dim, bits, seed + t)
+        bucketed = embeddings.select(
+            F.col(id_col), F.col(vec_col),
+            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        )
+        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("_bsz"))
+        capped = bucketed.join(
+            sizes.filter(F.col("_bsz") <= max_bucket), "bucket"
+        ).drop("_bsz")
+        a = capped.select(
+            "bucket", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+        )
+        b = capped.select(
+            "bucket", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+        )
+        pair_frames.append(
+            a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
+            .select("vec_a", "vec_b", "_va", "_vb")
+        )
+    cands = pair_frames[0]
+    for x in pair_frames[1:]:
+        cands = cands.unionByName(x)
+    return (
+        cands.dropDuplicates(["vec_a", "vec_b"])
+        .withColumn(
+            "cosine_e6",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+                * 1e6
+            ).cast("long"),
+        )
+        .filter(F.col("cosine_e6") >= int(round(threshold * 1e6)))
+        .select("vec_a", "vec_b", "cosine_e6")
+    )
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame, probe_vec: list[float], k: int = 10, bits: int = 6,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -47,6 +47,42 @@ def test_lsh_cosine_topk_recall(spark, emb):
 
 
 @pytest.mark.spark
+def test_embedding_near_dup_pairs(spark):
+    """LSH near-dup pairs: exact precision (every emitted pair verified),
+    high recall vs the exact all-pairs operator on a clustered corpus."""
+    from similardocs_spark.operators.ann import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    vid = 0
+    for i in range(40):  # 3 noisy copies of each base vector → near-dup trios
+        for _ in range(3):
+            v = base[i] + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_exact(emb, threshold=0.95).collect()
+    }
+    approx_rows = embedding_near_dup_pairs(
+        emb, threshold=0.95, bits=6, tables=3
+    ).collect()
+    approx = {(r["vec_a"], r["vec_b"]) for r in approx_rows}
+    assert exact, "fixture must contain near-dup pairs"
+    assert approx <= exact  # exact verification → no false positives
+    assert len(approx) / len(exact) >= 0.8  # multi-table recall
+
+    # bucket cap: max_bucket=1 keeps every bucket out of the pair join
+    assert embedding_near_dup_pairs(emb, threshold=0.95, max_bucket=1).count() == 0
+
+
+@pytest.mark.spark
 def test_multimodal_features(spark):
     from similardocs_spark.operators.multimodal import (
         FEATURE_DIM,
