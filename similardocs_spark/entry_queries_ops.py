@@ -216,23 +216,32 @@ FROM prod ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 10
 # ------------------------------------------ 15b. embedding near-dup pairs
 
 
+_NEAR_DUP_SLICE = 500  # fixed exact-evaluation slice (all of sf0.01)
+
+
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-cosine near-dup pairs (threshold 0.4 — the sf0.01
-    embeddings are random normals, max pairwise cosine ≈ 0.51). The LSH
-    variant (ann.embedding_near_dup_pairs) is pytest-verified against this."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    """Exact embedding-cosine near-dup pairs over a FIXED 500-vector slice
+    (threshold 0.4 — the testdata embeddings are random normals, max pairwise
+    cosine ≈ 0.51). The slice keeps the exact all-pairs oracle bounded at any
+    SF (same bounded-probe pattern as ngram_jaccard); the unbounded corpus
+    path is the LSH variant, ann.embedding_near_dup_pairs, pytest-verified
+    against this exact operator."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < _NEAR_DUP_SLICE
+    )
     return ann.embedding_near_dup_pairs_exact(emb, threshold=0.4).orderBy(
         "vec_a", "vec_b"
     )
 
 
-SQL_EMBED_NEAR_DUPS = """
-WITH prod AS (
+SQL_EMBED_NEAR_DUPS = f"""
+WITH e AS (SELECT * FROM embeddings WHERE vec_id < {_NEAR_DUP_SLICE}),
+prod AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          SUM(CAST(a.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE)) AS dot,
          SUM(CAST(a.embedding[u.i] AS DOUBLE) * CAST(a.embedding[u.i] AS DOUBLE)) AS na,
          SUM(CAST(b.embedding[u.i] AS DOUBLE) * CAST(b.embedding[u.i] AS DOUBLE)) AS nb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+  FROM e a JOIN e b ON a.vec_id < b.vec_id,
        UNNEST(generate_series(1, len(a.embedding))) u(i)
   GROUP BY a.vec_id, b.vec_id
 ),

@@ -70,11 +70,18 @@ def embedding_near_dup_pairs_exact(
     bounded corpora and the correctness reference for the LSH variant below
     (same split as cosine_topk vs lsh_cosine_topk). Never run this at 100 TB;
     that is what embedding_near_dup_pairs is for."""
-    a = embeddings.select(
-        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+    # norms once per vector, not per pair (the pair join would otherwise
+    # re-run the O(dim) norm fold n² times)
+    e = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
     )
-    b = embeddings.select(
-        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+    a = e.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    b = e.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
@@ -82,7 +89,7 @@ def embedding_near_dup_pairs_exact(
             "cosine_e6",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+                / (F.col("_na") * F.col("_nb"))
                 * 1e6
             ).cast("long"),
         )
@@ -103,26 +110,30 @@ def embedding_near_dup_pairs(
     minhash_lsh_pairs). Candidate recall is probabilistic (pytest-verified
     against the exact operator); every emitted pair is exactly verified."""
     dim = len(embeddings.select(vec_col).first()[0])
+    base = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
+    )
     pair_frames = []
     for t in range(tables):
         planes = hyperplanes(dim, bits, seed + t)
-        bucketed = embeddings.select(
-            F.col(id_col), F.col(vec_col),
-            lsh_bucket_col(F.col(vec_col), planes).alias("bucket"),
+        bucketed = base.withColumn(
+            "bucket", lsh_bucket_col(F.col(vec_col), planes)
         )
         sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("_bsz"))
         capped = bucketed.join(
             sizes.filter(F.col("_bsz") <= max_bucket), "bucket"
         ).drop("_bsz")
         a = capped.select(
-            "bucket", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va")
+            "bucket", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+            F.col("_n").alias("_na"),
         )
         b = capped.select(
-            "bucket", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb")
+            "bucket", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+            F.col("_n").alias("_nb"),
         )
         pair_frames.append(
             a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "_va", "_vb")
+            .select("vec_a", "vec_b", "_va", "_vb", "_na", "_nb")
         )
     cands = pair_frames[0]
     for x in pair_frames[1:]:
@@ -133,7 +144,7 @@ def embedding_near_dup_pairs(
             "cosine_e6",
             F.round(
                 _dot(F.col("_va"), F.col("_vb"))
-                / (_norm(F.col("_va")) * _norm(F.col("_vb")))
+                / (F.col("_na") * F.col("_nb"))
                 * 1e6
             ).cast("long"),
         )
