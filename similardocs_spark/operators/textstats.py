@@ -129,19 +129,36 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(docs: DataFrame, text_col: str = "text", k: int = 4) -> DataFrame:
+def fingerprint(
+    docs: DataFrame, text_col: str = "text", k: int = 4,
+    shuffle_safe: bool = False,
+) -> DataFrame:
     """Bottom-k sketch fingerprint over 8-char shingles (winnowing-style):
     fp = concat of the k smallest distinct md5(shingle) values — robust to
-    small edits.
+    small edits. Fully JVM-side either way (no Python anywhere):
 
-    Fully JVM-side set-based plan (whole-stage codegen, no Python): explode
-    shingle start positions, md5 each substring, keep the bottom-k per doc via
-    a window dense_rank (spillable sort — bounded memory even for a single
-    enormous document, unlike a per-doc collect_set of every shingle hash).
-    The post-window groupBy reuses the window's doc_id hash partitioning, so
-    the whole operator costs exactly one shuffle."""
+    - default: ROW-LOCAL higher-order-function plan — transform the shingle
+      positions to md5 hashes inside the row, array_distinct → array_sort →
+      slice → concat. Zero explode, zero shuffle, whole-stage codegen;
+      per-row memory is O(doc length), fine up to the 10k-char truncated
+      docs this engine indexes.
+    - shuffle_safe=True: explode + window dense_rank bottom-k — one shuffle
+      with a SPILLABLE sort, bounded executor memory even for pathological
+      multi-hundred-MB single documents. Same results."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    if not shuffle_safe:
+        hashes = F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(t) - 8, F.lit(0)) + F.lit(1)),
+            lambda i: F.md5(F.substr(t, i, F.lit(8))),
+        )
+        return docs.select(
+            "doc_id",
+            F.concat_ws(
+                "", F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+            ).alias("fp"),
+        )
     sh = (
-        docs.select("doc_id", F.coalesce(F.col(text_col), F.lit("")).alias("_t"))
+        docs.select("doc_id", t.alias("_t"))
         .select(
             "doc_id",
             "_t",
