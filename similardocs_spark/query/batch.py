@@ -177,6 +177,53 @@ def _batch_bucket(
     )
 
 
+def search_batch_mixed(
+    engine,
+    queries: dict[str, str],
+    per_query: dict[str, dict],
+    **shared,
+) -> dict[str, list]:
+    """Batch with PER-QUERY filter overrides: `per_query[qid]` may set any of
+    sources/instances/last_days/max_docs/min_ngrams for that query; everything
+    else inherits `shared`. Queries are grouped by their effective filter
+    tuple and each group runs as one shared-filter batch plan — the grouping
+    is driver-side bookkeeping only, so a mixed workload of G distinct filter
+    sets costs G batch plans instead of |queries| single-query jobs."""
+    groups: dict[tuple, dict[str, str]] = {}
+    cfgs: dict[tuple, dict] = {}
+    for qid, text in queries.items():
+        over = per_query.get(qid, {})
+        cfg = dict(shared)
+        cfg.update(over)
+        key = (
+            frozenset(cfg.get("sources") or ()) or None,
+            frozenset(cfg.get("instances") or ()) or None,
+            cfg.get("last_days"),
+            cfg.get("max_docs", DEFAULT_MAX_DOCS),
+            cfg.get("min_ngrams", DEFAULT_MIN_NGRAMS),
+            cfg.get("split_time", False),
+        )
+        groups.setdefault(key, {})[qid] = text
+        cfgs[key] = cfg
+    results: dict[str, list] = {}
+    for key, group in groups.items():
+        cfg = cfgs[key]
+        results.update(
+            search_batch(
+                engine,
+                group,
+                max_docs=cfg.get("max_docs", DEFAULT_MAX_DOCS),
+                min_ngrams=cfg.get("min_ngrams", DEFAULT_MIN_NGRAMS),
+                sources=set(key[0]) if key[0] else None,
+                instances=set(key[1]) if key[1] else None,
+                last_days=cfg.get("last_days"),
+                split_time=cfg.get("split_time", False),
+                use_wand=cfg.get("use_wand"),
+            )
+        )
+    return results
+
+
 def search_batch(
     engine,
     queries: dict[str, str],
@@ -192,7 +239,8 @@ def search_batch(
     engine.search(text, ...) with the same settings. use_wand=None (default)
     auto-selects the batched per-segment kernel whenever the union of the
     batch's terms has enough estimated postings (same policy as
-    SearchEngine.search)."""
+    SearchEngine.search). For per-query filter overrides see
+    search_batch_mixed."""
     qinfo = _prepare_batch(engine, queries)
     results: dict[str, list] = {qid: [] for qid in queries}
     if not qinfo:

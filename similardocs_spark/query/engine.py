@@ -282,6 +282,15 @@ class SearchEngine:
 
         return search_batch(self, queries, **kwargs)
 
+    def search_batch_mixed(
+        self, queries: dict[str, str], per_query: dict[str, dict], **shared
+    ) -> dict[str, list]:
+        """Batch with per-query filter overrides (grouped into one plan per
+        distinct filter set) — see query/batch.py."""
+        from .batch import search_batch_mixed
+
+        return search_batch_mixed(self, queries, per_query, **shared)
+
     def search(
         self,
         text: str,

@@ -54,6 +54,30 @@ def test_batch_matches_oracle(corpus, mode, use_wand):
 
 
 @pytest.mark.spark
+def test_batch_mixed_filters(corpus):
+    """Per-query filter overrides: every query's result equals a single
+    search() with its own effective settings."""
+    engine, oracle = corpus
+    names = list(REFERENCE_QUERIES)
+    q = {n: REFERENCE_QUERIES[n] for n in names[:4]}
+    per_query = {
+        names[0]: {"sources": {"MEDLINE"}},
+        names[1]: {"max_docs": 3},
+        names[2]: {},  # inherits shared
+    }
+    res = engine.search_batch_mixed(q, per_query, sources={"LILACS"})
+    expect_cfg = {
+        names[0]: dict(sources={"MEDLINE"}),
+        names[1]: dict(sources={"LILACS"}, max_docs=3),
+        names[2]: dict(sources={"LILACS"}),
+        names[3]: dict(sources={"LILACS"}),
+    }
+    for n, cfg in expect_cfg.items():
+        exp = oracle.search(REFERENCE_QUERIES[n], **cfg)
+        assert_hits_equal(res[n], exp, f"mixed {n} {cfg}")
+
+
+@pytest.mark.spark
 def test_batch_empty_queries(corpus):
     engine, _ = corpus
     res = engine.search_batch({"e1": "the and", "e2": "zika dengue"})
