@@ -38,3 +38,38 @@ def test_fingerprint_plans_identical(spark):
         }
     )
     assert a[1] == "".join(hs[:4])
+
+
+@pytest.mark.spark
+def test_textstats_plans_are_jvm_only(spark):
+    """VERDICT r1: fingerprint was the one per-row-Python hot path; assert
+    none of the textstats operators schedules a Python eval node anymore
+    (langid/quality/token_counts/fingerprint — both plan variants)."""
+    from similardocs_spark.operators.textstats import (
+        fingerprint,
+        langid,
+        quality_score,
+        token_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} the and dengue") for i in range(20)],
+        "doc_id long, text string",
+    )
+    for name, df in (
+        ("fingerprint", fingerprint(docs)),
+        ("fingerprint_shuffle_safe", fingerprint(docs, shuffle_safe=True)),
+        ("quality", quality_score(docs)),
+        ("token_counts", token_counts(docs)),
+        ("langid", langid(docs)),
+    ):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan, f"{name} schedules Python: {marker}"
+    # the no-shuffle claim for the default fingerprint plan
+    plan = fingerprint(docs)._sc._jvm.PythonSQLUtils.explainString(
+        fingerprint(docs)._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan
