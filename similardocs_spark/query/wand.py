@@ -310,28 +310,34 @@ def wand_score_batch(
         term_slices.update((t, s) for t in w_idf)
     all_terms = sorted({t for t, _ in term_slices})
 
-    ts_df = F.broadcast(
-        spark.createDataFrame(sorted(term_slices), "term string, slice int")
-    )
-    postings = (
-        engine._postings.filter(F.col("term").isin(all_terms))
-        .select("seg", "term", "blob")
-        .join(ts_df, "term")
+    postings = engine._postings.filter(F.col("term").isin(all_terms)).select(
+        "seg", "term", "blob"
     )
     docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
     if sources is not None:
         docs = docs.filter(F.col("db").isin(sorted(sources)))
     if instances is not None:
         docs = docs.filter(F.col("instance").isin(sorted(instances)))
-    slices_df = F.broadcast(
-        spark.createDataFrame([(s,) for s in range(n_slices)], "slice int")
-    )
     docs = docs.select(
         "seg",
         "doc_id",
         "tfnorm",
         engine._const_for(sources, instances).alias("const"),
-    ).crossJoin(slices_df)
+    )
+    if n_slices == 1:
+        # no query slicing needed (enough segments for full fan-out):
+        # skip the term→slice join and the docs replication entirely
+        postings = postings.withColumn("slice", F.lit(0))
+        docs = docs.withColumn("slice", F.lit(0))
+    else:
+        ts_df = F.broadcast(
+            spark.createDataFrame(sorted(term_slices), "term string, slice int")
+        )
+        postings = postings.join(ts_df, "term")
+        slices_df = F.broadcast(
+            spark.createDataFrame([(s,) for s in range(n_slices)], "slice int")
+        )
+        docs = docs.crossJoin(slices_df)
 
     seg_size = engine.seg_size
 
