@@ -267,7 +267,9 @@ def q_ngram_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     first occurrence asc), space-joined."""
     from .functions.ngram_text import ngram_text_col
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )  # row-local transform: parallelism = input partitions (see q_fingerprint)
     return ngram_text_col(docs, num_tokens=_NGT_TOKENS).select(
         "doc_id", "ngram_text"
     ).orderBy("doc_id")
@@ -402,7 +404,12 @@ FROM documents
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # spread the (single-file at test SF) input first: the fingerprint plan
+    # is row-local by design (no shuffle of its own), so compute parallelism
+    # equals input-partition count; a real multi-file table spreads for free
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return textstats.fingerprint(docs).orderBy("doc_id")
 
 
