@@ -194,6 +194,27 @@ def _commit_staged(
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def optimize(spark: SparkSession, paths: IndexPaths, seg_batches: int = 1) -> int:
+    """Full index optimize — the reference's forceMerge(1)
+    (LuceneIndexAkka.scala:112): rebuild every segment's postings from the
+    live docs table in one pass, compacting incremental-update fragmentation
+    (posting blobs are per-(seg, term) rows, so 'merge' here = re-encode each
+    segment from its current docs; segment BOUNDARIES are docID ranges and
+    never fragment). Refreshes the term dictionary. Returns #segments."""
+    from .build import build_postings
+    from .catalog import get_io
+
+    io = get_io(spark, paths.root)
+    stats_row = io.read(spark, paths.stats).collect()[0]
+    seg_size = int(stats_row["seg_size"])
+    docs = io.read(spark, paths.docs).withColumn("seg", F.col("seg").cast("long"))
+    n_segs = docs.select("seg").distinct().count()
+    build_postings(spark, paths, seg_size=seg_size, seg_batches=seg_batches)
+    build_terms(spark, paths)
+    _log_lineage(spark, paths, [("optimize", -1, int(n_segs), 0, "done")])
+    return int(n_segs)
+
+
 def resume_incremental(spark: SparkSession, paths: IndexPaths) -> dict[str, int]:
     """Crash repair: if a staging dir survives (the merge died between the
     staging write and the end of the live commit), redo the swap from the

@@ -163,6 +163,38 @@ def test_incremental_crash_repair(spark, tmp_path, monkeypatch):
 
 
 @pytest.mark.spark
+def test_optimize_rebuilds_identical_postings(spark, tmp_path):
+    """S7 force-merge: optimize() after an incremental update produces
+    postings identical to a fresh full rebuild, and search still matches."""
+    from similardocs_spark.index.incremental import optimize
+
+    base = transcripts_df(spark, n_convs=40, seed=42)
+    delta = (
+        base.filter(F.col("conv_id") < "conv00000005")
+        .withColumn("text", F.concat(F.lit("zika atualizado "), "text"))
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 3000 DAYS"))
+    )
+    root = str(tmp_path / "opt")
+    build_index(spark, base, root, seg_size=16)
+    incremental_update(spark, IndexPaths(root), delta)
+
+    def postings_of(root):
+        return sorted(
+            (r["seg"], r["term"], bytes(r["blob"]))
+            for r in spark.read.parquet(os.path.join(root, "postings"))
+            .select("seg", "term", "blob")
+            .collect()
+        )
+
+    before = postings_of(root)
+    n = optimize(spark, IndexPaths(root))
+    assert n > 0
+    assert postings_of(root) == before  # idempotent re-encode of live docs
+    engine = SearchEngine(spark, IndexPaths(root), PINNED_TODAY, END_DAYS_AGO)
+    assert engine.search("zika dengue")
+
+
+@pytest.mark.spark
 def test_resume_skips_done_segments(spark, tmp_path):
     """Interrupted build (only 1 of 3 batches committed) resumes without
     recomputing the committed segments, and the final index equals a fresh
