@@ -31,6 +31,7 @@ from ..textnorm import (
     java_trim,
     uniform_string,
 )
+from .tokenize import _token_frame
 
 
 def token_stream(text: str) -> list[str]:
@@ -68,6 +69,34 @@ def ngram_text(text: str, num_tokens: int) -> str | None:
     return " ".join(ranked[:num_tokens])
 
 
+def _ngram_text_series(texts: pd.Series, num_tokens: int) -> pd.Series:
+    """Vectorized ngram_text over a batch: the tokenize.py explode-frame
+    pattern, but counting PRE-dedup frequencies via groupby(row, tok) and
+    ranking by (freq desc, first-occurrence asc). No per-row Python loop —
+    parity with the scalar `ngram_text` is pinned by tests (incl. Hypothesis)."""
+    # scalar form does Python str.strip() before tokenizing (strips a few
+    # non-Java-ws chars like NBSP at the edges) — replicate exactly
+    texts = texts.fillna("").str.strip()
+    frame = _token_frame(texts)
+    out = pd.Series([None] * len(texts), index=texts.index, dtype=object)
+    if not len(frame):
+        return out
+    frame = frame.reset_index(drop=True)
+    frame["pos"] = frame.index  # stream order is global-monotone per row
+    stats = (
+        frame.groupby(["row", "tok"], sort=False)["pos"]
+        .agg(freq="size", first="min")
+        .reset_index()
+    )
+    stats = stats.sort_values(
+        ["row", "freq", "first"], ascending=[True, False, True], kind="stable"
+    )
+    top = stats.groupby("row", sort=False).head(num_tokens)
+    joined = top.groupby("row", sort=False)["tok"].agg(" ".join)
+    out.loc[joined.index] = joined
+    return out
+
+
 def ngram_text_col(
     docs: DataFrame,
     text_col: str = "text",
@@ -75,12 +104,11 @@ def ngram_text_col(
     out_col: str = "ngram_text",
 ) -> DataFrame:
     """DataFrame form: adds `out_col` = ngram_text(text, num_tokens). Arrow-
-    batched pandas UDF (same cost class as the tokenizer itself — the quirky
-    analyzer chain is the irreducible Python part; everything around it stays
-    JVM-side)."""
+    batched pandas UDF running the vectorized explode-frame analyzer (same
+    cost class as the tokenizer itself); everything around it stays JVM-side."""
 
     @pandas_udf(T.StringType())
     def _udf(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: ngram_text(t or "", num_tokens))
+        return _ngram_text_series(texts, num_tokens)
 
     return docs.withColumn(out_col, _udf(F.col(text_col)))

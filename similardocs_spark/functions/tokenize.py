@@ -48,11 +48,10 @@ def _uniform_vec(s: pd.Series) -> pd.Series:
     return lowered.str.replace(_NONWORD_PAT, " ", regex=True)
 
 
-def _tokenize_series(texts: pd.Series, pre_uniform: bool, max_tokens: int | None) -> pd.Series:
-    """Core vectorized pipeline: Series[str] -> Series[list[str]]."""
-    texts = texts.fillna("")
-    if pre_uniform:
-        texts = _uniform_vec(texts)
+def _token_frame(texts: pd.Series) -> pd.DataFrame:
+    """Vectorized pre-dedup analyzer stream: Series[str] -> flat (row, tok)
+    frame in stream order (steps 1-5 of the chain; callers add dedup or
+    frequency counting on top). `row` is the input Series index."""
     # 1) whitespace tokenize (Java isWhitespace class); frame keeps (row, order)
     toks = texts.str.split(_WS_PAT, regex=True).explode().dropna()
     toks = toks[toks.str.len() > 0]
@@ -75,6 +74,16 @@ def _tokenize_series(texts: pd.Series, pre_uniform: bool, max_tokens: int | None
         # 5) NGramFilter: len >= 3 → prefix of min(6, len)
         frame = frame[frame["tok"].str.len() >= MIN_NGRAM]
         frame = frame.assign(tok=frame["tok"].str.slice(0, MAX_NGRAM))
+    return frame
+
+
+def _tokenize_series(texts: pd.Series, pre_uniform: bool, max_tokens: int | None) -> pd.Series:
+    """Core vectorized pipeline: Series[str] -> Series[list[str]]."""
+    texts = texts.fillna("")
+    if pre_uniform:
+        texts = _uniform_vec(texts)
+    frame = _token_frame(texts)
+    if len(frame):
         # 6) per-row ordered dedup (+ optional cap)
         frame = frame.drop_duplicates(["row", "tok"], keep="first")
         if max_tokens is not None:

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def _dot(a, b):
@@ -110,36 +111,48 @@ def embedding_near_dup_pairs(
     minhash_lsh_pairs). Candidate recall is probabilistic (pytest-verified
     against the exact operator); every emitted pair is exactly verified."""
     dim = len(embeddings.select(vec_col).first()[0])
-    base = embeddings.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
-    )
+    base = embeddings.select(F.col(id_col), F.col(vec_col))
+    # candidate generation carries IDS ONLY through the bucket join, the
+    # cross-table union and the pair dedup — full vectors would otherwise be
+    # shuffled once per candidate (pair multiplicity), the dominant shuffle
+    # at scale. Vectors + norms are re-joined once per UNIQUE pair below.
     pair_frames = []
     for t in range(tables):
         planes = hyperplanes(dim, bits, seed + t)
-        bucketed = base.withColumn(
-            "bucket", lsh_bucket_col(F.col(vec_col), planes)
+        bucketed = base.select(
+            id_col, lsh_bucket_col(F.col(vec_col), planes).alias("bucket")
         )
-        sizes = bucketed.groupBy("bucket").agg(F.count("*").alias("_bsz"))
-        capped = bucketed.join(
-            sizes.filter(F.col("_bsz") <= max_bucket), "bucket"
-        ).drop("_bsz")
-        a = capped.select(
-            "bucket", F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
-            F.col("_n").alias("_na"),
+        capped = (
+            bucketed.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
         )
-        b = capped.select(
-            "bucket", F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
-            F.col("_n").alias("_nb"),
-        )
+        a = capped.select("bucket", F.col(id_col).alias("vec_a"))
+        b = capped.select("bucket", F.col(id_col).alias("vec_b"))
         pair_frames.append(
             a.join(b, ["bucket"]).filter(F.col("vec_a") < F.col("vec_b"))
-            .select("vec_a", "vec_b", "_va", "_vb", "_na", "_nb")
+            .select("vec_a", "vec_b")
         )
     cands = pair_frames[0]
     for x in pair_frames[1:]:
         cands = cands.unionByName(x)
+    cands = cands.dropDuplicates(["vec_a", "vec_b"])
+    withn = embeddings.select(
+        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_n")
+    )
+    va = withn.select(
+        F.col(id_col).alias("vec_a"), F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    vb = withn.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
     return (
-        cands.dropDuplicates(["vec_a", "vec_b"])
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
         .withColumn(
             "cosine_e6",
             F.round(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions.tokenize import tokenize as tokenize_udf
 
@@ -113,7 +114,8 @@ def lsh_oversized_buckets(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET
+    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET,
+    collapsed: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     Band key = concat of the band's minhashes; pairs joined only within
@@ -124,17 +126,23 @@ def minhash_lsh_pairs(
       boilerplate text (the common degenerate case in training corpora)
       contributes ONE bucket row, not |group|. Exact duplicates are the
       exact_dedup/deduplicate operators' job; pairs here are between
-      distinct texts only.
+      distinct texts only. Callers that already collapsed (deduplicate)
+      pass `collapsed=True` to skip the second md5-groupBy pass.
     - bucket-size cap: buckets larger than `max_bucket` are skipped (the
       within-bucket join is O(|bucket|²); one hot bucket would stall the
       stage). Dropped buckets are observable via lsh_oversized_buckets() —
-      never capped silently."""
-    reps = exact_representatives(docs, text_col)
+      never capped silently. The cap check is a window count over the SAME
+      (band, key) shuffle the pair join needs, so the signature lineage
+      (tokenize → shingle → minhash) runs exactly once."""
+    reps = docs if collapsed else exact_representatives(docs, text_col)
     all_bands = _band_buckets(minhash_signatures(reps, text_col))
-    sizes = all_bands.groupBy("band", "key").agg(F.count("*").alias("_bsz"))
-    capped = all_bands.join(
-        sizes.filter(F.col("_bsz") <= max_bucket), ["band", "key"]
-    ).drop("_bsz")
+    capped = (
+        all_bands.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
     a, b_ = capped.alias("a"), capped.alias("b")
     pairs = (
         a.join(
@@ -171,7 +179,7 @@ def deduplicate(
     reps = exact_representatives(docs, text_col)
     if not near:
         return reps
-    pairs = minhash_lsh_pairs(reps, text_col, max_bucket=max_bucket)
+    pairs = minhash_lsh_pairs(reps, text_col, max_bucket=max_bucket, collapsed=True)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
         edges.unionByName(
@@ -189,6 +197,7 @@ def deduplicate(
         .persist()
     )
     try:
+        converged = False
         for _ in range(max_iter):
             nbr_min = (
                 edges.join(
@@ -219,7 +228,20 @@ def deduplicate(
             labels.unpersist()
             labels = new_labels.persist()
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # no-silent-caps: a component with propagation distance > max_iter
+            # keeps >1 representative — surface it (mirrors the
+            # lsh_oversized_buckets observability pattern)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "deduplicate: min-label propagation hit max_iter=%d with labels "
+                "still changing; some connected components may retain duplicate "
+                "representatives. Raise max_iter for deeper components.",
+                max_iter,
+            )
         # non-keeper = label smaller than own id; reps not touched by any
         # edge survive implicitly (anti-join against the dropped set, which
         # is materialized so both caches can be released here)

@@ -87,3 +87,35 @@ def test_udf_on_spark(spark):
     for r, text in zip(rows, ADVERSARIAL):
         assert r.toks == analyze(text), text
         assert r.rr == analyze(text, pre_uniform=True, max_tokens=100), text
+
+
+def _check_ngram(cases: list[str], num_tokens: int = 5) -> None:
+    from similardocs_spark.functions.ngram_text import _ngram_text_series, ngram_text
+
+    got = _ngram_text_series(pd.Series(cases, dtype=object), num_tokens).tolist()
+    exp = [ngram_text(c or "", num_tokens) for c in cases]
+    assert got == exp
+
+
+def test_ngram_text_vectorized_adversarial():
+    _check_ngram(ADVERSARIAL, 3)
+    _check_ngram(ADVERSARIAL, 10)
+    _check_ngram(["\xa0edge nbsp\xa0", None, "dup dup dup one two two"], 2)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "Z", "M", "S", "C")
+            ),
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+def test_ngram_text_property_parity(texts, num_tokens):
+    _check_ngram(texts, num_tokens)
