@@ -335,9 +335,9 @@ def build_postings(
     """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
     block-max metadata. Committed in seg batches (resume skips done ones).
     `docs_df` (e.g. the build's cached docs) avoids the parquet re-read."""
-    from .catalog import get_io
+    from .catalog import get_io_for_index
 
-    io = get_io(spark, paths.root)
+    io = get_io_for_index(spark, paths)
     docs = (
         docs_df
         if docs_df is not None
@@ -406,9 +406,9 @@ def build_postings(
 def build_terms(spark: SparkSession, paths: IndexPaths) -> None:
     """Global term stats: df = Σ per-segment df (two-phase agg: the partial
     per-(seg,term) counts already exist → map-side combine into global)."""
-    from .catalog import get_io
+    from .catalog import get_io_for_index
 
-    io = get_io(spark, paths.root)
+    io = get_io_for_index(spark, paths)
     n_docs = io.read(spark, paths.stats).collect()[0]["n_docs"]
     postings = io.read(spark, paths.postings)
     terms = postings.groupBy("term").agg(F.sum("df_seg").alias("df"))

@@ -72,6 +72,20 @@ class ParquetIO:
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
 
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        return os.path.exists(path)
+
+    def committed(self, spark: SparkSession, path: str) -> bool:
+        """True iff the write job that produced `path` COMPLETED: parquet
+        jobs place a _SUCCESS marker at job commit; a crash mid-write leaves
+        data files but no marker."""
+        return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    def drop(self, spark: SparkSession, path: str) -> None:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+
 
 class IcebergIO:
     """Iceberg substrate: a Hadoop catalog warehoused at the index root;
@@ -125,14 +139,59 @@ class IcebergIO:
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.table(self._ident(path))
 
+    def exists(self, spark: SparkSession, path: str) -> bool:
+        return self.spark.catalog.tableExists(self._ident(path))
+
+    def committed(self, spark: SparkSession, path: str) -> bool:
+        # Iceberg table commits are atomic: the table is visible iff the
+        # write job completed, so existence IS the completion marker
+        return self.exists(spark, path)
+
+    def drop(self, spark: SparkSession, path: str) -> None:
+        spark.sql(f"DROP TABLE IF EXISTS {self._ident(path)}")
+
 
 def get_io(spark: SparkSession, root: str) -> ParquetIO | IcebergIO:
-    """Select the substrate: Iceberg when its runtime is loadable AND not
-    explicitly disabled (SIMDOCS_SUBSTRATE=parquet forces parquet; =iceberg
-    forces Iceberg and fails fast if the jar is absent)."""
+    """Select the substrate for a NEW index: Iceberg when its runtime is
+    loadable AND not explicitly disabled (SIMDOCS_SUBSTRATE=parquet forces
+    parquet; =iceberg forces Iceberg and fails fast if the jar is absent).
+    For an EXISTING index use get_io_for_index, which honors the substrate
+    the index was committed with."""
     forced = os.environ.get("SIMDOCS_SUBSTRATE", "").lower()
     if forced == "parquet":
         return ParquetIO()
     if forced == "iceberg":
         return IcebergIO(spark, root)
     return IcebergIO(spark, root) if iceberg_available(spark) else ParquetIO()
+
+
+def get_io_for_index(spark: SparkSession, paths) -> ParquetIO | IcebergIO:
+    """IO for an EXISTING index: every build logs its substrate to the
+    (always-parquet) lineage journal as a phase='substrate' row; reads and
+    maintenance MUST use that substrate — environment-based re-selection
+    would silently point the query/repair paths at the wrong storage (e.g.
+    an index written as Iceberg tables read back as raw parquet paths).
+    Fails fast when the recorded substrate is unavailable or ambiguous;
+    falls back to environment selection only when no record exists
+    (pre-shim indexes)."""
+    recorded: set[str] = set()
+    if os.path.exists(paths.lineage):
+        from pyspark.sql import functions as F
+
+        recorded = {
+            r["status"]
+            for r in spark.read.parquet(paths.lineage)
+            .filter(F.col("phase") == "substrate")
+            .select("status")
+            .distinct()
+            .collect()
+        }
+    if len(recorded) > 1:
+        raise RuntimeError(
+            f"index at {paths.root} records conflicting substrates {sorted(recorded)}"
+        )
+    if recorded == {"parquet"}:
+        return ParquetIO()
+    if recorded == {"iceberg"}:
+        return IcebergIO(spark, paths.root)  # raises if the jar is absent
+    return get_io(spark, paths.root)

@@ -38,9 +38,9 @@ def incremental_update(
     docs_meta: DataFrame | None = None,
 ) -> dict[str, int]:
     """Apply a transcript delta to an existing index. Returns counters."""
-    from .catalog import get_io
+    from .catalog import get_io_for_index
 
-    io = get_io(spark, paths.root)
+    io = get_io_for_index(spark, paths)
     stats_row = io.read(spark, paths.stats).collect()[0]
     seg_size = int(stats_row["seg_size"])
 
@@ -143,10 +143,10 @@ def _commit_staged(
     """Swap staged segment docs into the live table, rebuild the affected
     segments' postings, refresh stats/terms/meta, drop the staging dir.
     Idempotent: re-running after a crash anywhere in here converges."""
-    from .catalog import get_io
+    from .catalog import get_io_for_index
 
-    io = get_io(spark, paths.root)
-    staged = spark.read.parquet(stage).withColumn("seg", F.col("seg").cast("long"))
+    io = get_io_for_index(spark, paths)
+    staged = io.read(spark, stage).withColumn("seg", F.col("seg").cast("long"))
     io.overwrite_dynamic(staged, paths.docs)
 
     # rebuild postings for affected segments only
@@ -189,9 +189,7 @@ def _commit_staged(
         )
     )
     io.overwrite(meta.coalesce(1), paths.meta_stats)
-    import shutil
-
-    shutil.rmtree(stage, ignore_errors=True)
+    io.drop(spark, stage)
 
 
 def optimize(spark: SparkSession, paths: IndexPaths, seg_batches: int = 1) -> int:
@@ -202,9 +200,9 @@ def optimize(spark: SparkSession, paths: IndexPaths, seg_batches: int = 1) -> in
     segment from its current docs; segment BOUNDARIES are docID ranges and
     never fragment). Refreshes the term dictionary. Returns #segments."""
     from .build import build_postings
-    from .catalog import get_io
+    from .catalog import get_io_for_index
 
-    io = get_io(spark, paths.root)
+    io = get_io_for_index(spark, paths)
     stats_row = io.read(spark, paths.stats).collect()[0]
     seg_size = int(stats_row["seg_size"])
     docs = io.read(spark, paths.docs).withColumn("seg", F.col("seg").cast("long"))
@@ -216,20 +214,27 @@ def optimize(spark: SparkSession, paths: IndexPaths, seg_batches: int = 1) -> in
 
 
 def resume_incremental(spark: SparkSession, paths: IndexPaths) -> dict[str, int]:
-    """Crash repair: if a staging dir survives (the merge died between the
-    staging write and the end of the live commit), redo the swap from the
-    staged pre-merged segments — every step in _commit_staged is idempotent.
-    No-op when there is nothing to repair."""
-    import os
+    """Crash repair: if a COMPLETED staging write survives (the merge died
+    between the staging write's job commit and the end of the live commit),
+    redo the swap from the staged pre-merged segments — every step in
+    _commit_staged is idempotent. A staging table whose write job never
+    COMMITTED (no _SUCCESS marker / no Iceberg snapshot) is partial data;
+    committing it would overwrite live segments with incomplete rows, so it
+    is discarded instead and the caller reruns the merge. No-op when there
+    is nothing to repair."""
+    from .catalog import get_io_for_index
 
+    io = get_io_for_index(spark, paths)
     stage = paths.docs + ".staging"
-    if not os.path.exists(stage):
+    if not io.exists(spark, stage):
         return {"repaired_segs": 0}
-    from .catalog import get_io
-
-    stats_row = get_io(spark, paths.root).read(spark, paths.stats).collect()[0]
+    if not io.committed(spark, stage):
+        io.drop(spark, stage)
+        _log_lineage(spark, paths, [("incremental", -1, 0, 0, "discarded_incomplete")])
+        return {"repaired_segs": 0, "discarded_incomplete_staging": 1}
+    stats_row = io.read(spark, paths.stats).collect()[0]
     seg_size = int(stats_row["seg_size"])
-    staged = spark.read.parquet(stage)
+    staged = io.read(spark, stage)
     affected = sorted(
         int(r["seg"]) for r in staged.select("seg").distinct().collect()
     )

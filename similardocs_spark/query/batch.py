@@ -190,35 +190,39 @@ def search_batch_mixed(
     is driver-side bookkeeping only, so a mixed workload of G distinct filter
     sets costs G batch plans instead of |queries| single-query jobs."""
     groups: dict[tuple, dict[str, str]] = {}
-    cfgs: dict[tuple, dict] = {}
     for qid, text in queries.items():
         over = per_query.get(qid, {})
         cfg = dict(shared)
         cfg.update(over)
+        # EVERY effective setting is part of the group key (deriving any of
+        # them from a per-query cfg would let one query's override leak to
+        # its whole group), and an explicitly-empty sources/instances set is
+        # kept distinct from None: empty set = 'match nothing' (isin([])),
+        # None = 'no filter'.
         key = (
-            frozenset(cfg.get("sources") or ()) or None,
-            frozenset(cfg.get("instances") or ()) or None,
+            None if cfg.get("sources") is None else frozenset(cfg["sources"]),
+            None if cfg.get("instances") is None else frozenset(cfg["instances"]),
             cfg.get("last_days"),
             cfg.get("max_docs", DEFAULT_MAX_DOCS),
             cfg.get("min_ngrams", DEFAULT_MIN_NGRAMS),
             cfg.get("split_time", False),
+            cfg.get("use_wand"),
         )
         groups.setdefault(key, {})[qid] = text
-        cfgs[key] = cfg
     results: dict[str, list] = {}
     for key, group in groups.items():
-        cfg = cfgs[key]
+        srcs, insts, last_days, max_docs, min_ngrams, split_time, use_wand = key
         results.update(
             search_batch(
                 engine,
                 group,
-                max_docs=cfg.get("max_docs", DEFAULT_MAX_DOCS),
-                min_ngrams=cfg.get("min_ngrams", DEFAULT_MIN_NGRAMS),
-                sources=set(key[0]) if key[0] else None,
-                instances=set(key[1]) if key[1] else None,
-                last_days=cfg.get("last_days"),
-                split_time=cfg.get("split_time", False),
-                use_wand=cfg.get("use_wand"),
+                max_docs=max_docs,
+                min_ngrams=min_ngrams,
+                sources=None if srcs is None else set(srcs),
+                instances=None if insts is None else set(insts),
+                last_days=last_days,
+                split_time=split_time,
+                use_wand=use_wand,
             )
         )
     return results

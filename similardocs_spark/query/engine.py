@@ -69,20 +69,31 @@ class SearchEngine:
     end_days_ago: int = 7
     synonyms: SynonymDict | None = None
     cache: bool = False  # persist doc stats in executor memory (serving mode)
-    preload_terms_max: int = 2_000_000  # term dict ≤ this → driver-side lookup
+    preload_terms_max: int = 2_000_000  # term dict ≤ this many rows → preload
+    # byte-aware guard: estimated on-disk size of the terms table above which
+    # the driver-side preload is skipped regardless of row count (driver heap
+    # protection — parquet bytes are a conservative proxy for dict memory)
+    preload_terms_max_bytes: int = 256 * 1024 * 1024
 
     def __post_init__(self) -> None:
-        row = self.spark.read.parquet(self.paths.stats).collect()[0]
+        # all index reads go through the substrate the index was COMMITTED
+        # with (recorded in its lineage journal) — on an Iceberg deployment
+        # the index lives as catalog tables, not raw parquet paths
+        from ..index.catalog import get_io_for_index
+
+        io = get_io_for_index(self.spark, self.paths)
+        self._io = io
+        row = io.read(self.spark, self.paths.stats).collect()[0]
         self.n_docs: int = row["n_docs"]
         self.avgdl: float = row["avgdl"]
         self.seg_size: int = row["seg_size"]
         self.meta_df: dict[tuple[str, str], int] = {
             (r["field"], r["value"]): r["df"]
-            for r in self.spark.read.parquet(self.paths.meta_stats).collect()
+            for r in io.read(self.spark, self.paths.meta_stats).collect()
         }
         # tfnorm derived at query time from LIVE avgdl (survives incremental
         # updates; Lucene likewise computes avgdl from index stats per search)
-        self._docs = self.spark.read.parquet(self.paths.docs).withColumn(
+        self._docs = io.read(self.spark, self.paths.docs).withColumn(
             "seg", F.col("seg").cast("long")
         ).withColumn(
             "tfnorm",
@@ -98,20 +109,46 @@ class SearchEngine:
                 )
             ).cast("float"),
         )
-        self._postings = self.spark.read.parquet(self.paths.postings).withColumn(
+        self._postings = io.read(self.spark, self.paths.postings).withColumn(
             "seg", F.col("seg").cast("long")
         )
-        self._terms = self.spark.read.parquet(self.paths.terms)
+        self._terms = io.read(self.spark, self.paths.terms)
         self._term_df: dict[str, int] | None = None
-        if self._terms.count() <= self.preload_terms_max:
+        if (
+            self._terms_bytes_estimate() <= self.preload_terms_max_bytes
+            and self._terms.count() <= self.preload_terms_max
+        ):
             # small term dictionary → one collect at init kills a Spark job
-            # per query (prefix-6 tokens bound the dictionary hard: ≤ ~37^6)
+            # per query (prefix-6 tokens bound the dictionary hard: ≤ ~37^6).
+            # Beyond either guard the engine runs WITHOUT the preload: prepare()
+            # falls back to a per-query isin() lookup against the terms table
+            # and _wand_auto defaults to WAND (see those methods).
             self._term_df = {
                 r["term"]: r["df"] for r in self._terms.collect()
             }
         if self.cache:
             self._docs = self._docs.persist()
             self._postings = self._postings.persist()
+
+    def _terms_bytes_estimate(self) -> int:
+        """On-disk byte size of the terms table (cheap driver-side walk for
+        the parquet substrate; 0 = unknown → the row-count guard decides).
+        Collecting a dict whose parquet footprint is hundreds of MB would
+        multiply into driver-heap GBs — the byte guard catches that before
+        the count() ever materializes the rows."""
+        import os
+
+        path = self.paths.terms
+        if not os.path.isdir(path):
+            return 0
+        total = 0
+        for dirpath, _, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+        return total
 
     # ------------------------------------------------------------ query prep
 

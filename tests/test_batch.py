@@ -83,3 +83,22 @@ def test_batch_empty_queries(corpus):
     res = engine.search_batch({"e1": "the and", "e2": "zika dengue"})
     assert res["e1"] == []
     assert len(res["e2"]) > 0
+
+
+@pytest.mark.spark
+def test_batch_mixed_empty_set_and_use_wand_grouping(corpus):
+    """Explicitly-empty sources = 'match nothing' (not 'no filter'), and a
+    per-query use_wand override must not leak to its group (results equal
+    either way — grouping is checked behaviorally)."""
+    engine, oracle = corpus
+    names = list(REFERENCE_QUERIES)
+    q = {n: REFERENCE_QUERIES[n] for n in names[:3]}
+    per_query = {
+        names[0]: {"sources": set()},  # match nothing
+        names[1]: {"use_wand": True},  # own group; same results as False
+    }
+    res = engine.search_batch_mixed(q, per_query, use_wand=False)
+    assert res[names[0]] == []
+    for n in names[1:3]:
+        exp = oracle.search(REFERENCE_QUERIES[n])
+        assert_hits_equal(res[n], exp, f"mixed wand-group {n}")

@@ -84,3 +84,22 @@ def test_empty_and_stopword_queries(corpus):
         got = engine.search(text)
         exp = oracle.search(text)
         assert [r.doc_id for r in got] == [h.doc_id for h in exp], text
+
+
+@pytest.mark.spark
+def test_no_preload_byte_guard(corpus):
+    """Byte-aware preload guard: with preload_terms_max_bytes=0 the engine
+    must skip the driver-side term dict (falling back to per-query isin
+    lookups + WAND default) and still match the oracle exactly."""
+    engine, oracle = corpus
+    eng2 = SearchEngine(
+        engine.spark, engine.paths, PINNED_TODAY, END_DAYS_AGO,
+        preload_terms_max_bytes=0,
+    )
+    assert eng2._term_df is None
+    assert eng2._terms_bytes_estimate() > 0
+    for qname in sorted(REFERENCE_QUERIES)[:3]:
+        text = REFERENCE_QUERIES[qname]
+        got = eng2.search(text)
+        exp = oracle.search(text)
+        assert_hits_equal(got, exp, f"no-preload {qname}")

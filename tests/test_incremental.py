@@ -244,3 +244,42 @@ def test_resume_skips_done_segments(spark, tmp_path):
         for r in spark.read.parquet(paths_b.postings).select(cols).collect()
     )
     assert a == b
+
+
+@pytest.mark.spark
+def test_resume_discards_uncommitted_staging(spark, tmp_path):
+    """A crash DURING the staging write (no _SUCCESS marker) must not be
+    'repaired' — committing partial staged segments would overwrite live
+    segments with incomplete data. resume_incremental discards the staging
+    dir and leaves the live table untouched."""
+    import shutil
+
+    import similardocs_spark.index.incremental as I
+
+    root = str(tmp_path / "idx")
+    build_index(spark, transcripts_df(spark, n_convs=30, seed=42), root, seg_size=16)
+    paths = IndexPaths(root)
+
+    def read_docs():
+        return sorted(
+            (r["doc_id"], r["conv_id"], r["update_date"])
+            for r in spark.read.parquet(paths.docs)
+            .select("doc_id", "conv_id", "update_date")
+            .collect()
+        )
+
+    pre = read_docs()
+    # fabricate a staging write that died mid-job: real seg dirs, no _SUCCESS
+    stage = paths.docs + ".staging"
+    shutil.copytree(paths.docs, stage)
+    os.remove(os.path.join(stage, "_SUCCESS"))
+    # drop one seg dir to make it visibly partial
+    seg_dirs = sorted(glob.glob(os.path.join(stage, "seg=*")))
+    shutil.rmtree(seg_dirs[-1])
+
+    rep = I.resume_incremental(spark, paths)
+    assert rep == {"repaired_segs": 0, "discarded_incomplete_staging": 1}
+    assert not os.path.exists(stage)
+    assert read_docs() == pre
+    # second call: clean no-op
+    assert I.resume_incremental(spark, paths) == {"repaired_segs": 0}
