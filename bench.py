@@ -149,12 +149,16 @@ def main() -> None:
 
         engine = SearchEngine(spark, paths, today=date(2028, 1, 1), end_days_ago=7, cache=True)
 
-        # 2a. batched throughput (the Spark-native serving path)
+        # 2a. batched throughput (the Spark-native serving path). DISTINCT
+        # query texts: search_batch canonically dedups identical queries, so
+        # a repeated-text batch would measure 9 queries, not 72
+        import random
+
         engine.search_batch({"warm": "key value"})
+        _pool = sorted({w for t in SEARCH_QUERIES.values() for w in t.split()})
+        _rng = random.Random(7)
         big_batch = {
-            f"{name}_{i}": text
-            for i in range(8)
-            for name, text in SEARCH_QUERIES.items()
+            f"b{i}": " ".join(_rng.sample(_pool, 5)) for i in range(72)
         }
         t0 = time.time()
         res = engine.search_batch(big_batch)
@@ -187,14 +191,16 @@ def main() -> None:
         zengine = SearchEngine(
             spark, zpaths, today=date(2028, 1, 1), end_days_ago=7, cache=True
         )
+        # distinct queries drawn from the corpus's own Zipf term distribution
+        # (rank = floor(vocab·u²)) — same rationale as big_batch above
+        import random
+
+        _zrng = random.Random(42)
         zqueries = {
-            f"z{i}_{j}": q
-            for j in range(8)
-            for i, q in enumerate(
-                ["w0 w1 w17 w123", "w2 w5 w999 w4321", "w1 w3 w55", "w7 w88 w1500",
-                 "w10 w20 w30", "w0 w41000 w600", "w6 w66 w666", "w9 w99 w999",
-                 "w11 w111 w1111"]
+            f"z{i}": " ".join(
+                f"w{int(50000 * _zrng.random() ** 2)}" for _ in range(4)
             )
+            for i in range(72)
         }
         zengine.search_batch({"warm": "w0 w1"})
         t0 = time.time()

@@ -56,9 +56,11 @@ def _prepare_batch(engine, queries: dict[str, str]) -> dict[str, dict]:
     if engine._term_df is not None:
         dfs = {t: engine._term_df[t] for t in all_terms if t in engine._term_df}
     else:
+        from ..util import filter_terms
+
         dfs = {
             r["term"]: r["df"]
-            for r in engine._terms.filter(F.col("term").isin(sorted(all_terms))).collect()
+            for r in filter_terms(engine._terms, all_terms).collect()
         }
     out: dict[str, dict] = {}
     for qid, info in raw.items():
@@ -99,11 +101,17 @@ def _batch_bucket(
         )
         for qid in active
     ]
+    # Arrow LocalRelations: materializing a broadcast of a plain
+    # createDataFrame(list) runs a full Python-task stage per table
+    # (~1.2 s each measured) — local_df makes them free
+    from ..util import local_df
+
     qterms = F.broadcast(
-        spark.createDataFrame(qterm_rows, "query_id string, term string, w_idf double")
+        local_df(spark, qterm_rows, "query_id string, term string, w_idf double")
     )
     qmeta = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             meta_rows,
             "query_id string, q_rerank array<string>, min2 int, k int, pool int",
         )
@@ -126,10 +134,11 @@ def _batch_bucket(
         )
     else:
         terms_needed = sorted({t for _, t, _ in qterm_rows})
+        from ..util import filter_terms
         from .engine import _decode_udf
 
         decoded = (
-            engine._postings.filter(F.col("term").isin(terms_needed))
+            filter_terms(engine._postings, terms_needed)
             .select("term", F.explode(_decode_udf(F.col("blob"))).alias("doc_id"))
         )
         docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
@@ -152,16 +161,34 @@ def _batch_bucket(
             .select("query_id", "doc_id", "score")
         )
     wc = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    # pool cut first with a pool-only broadcast (q_rerank arrays must not
+    # ride along: they'd be replicated onto every pre-cut candidate row)
+    qpool = F.broadcast(
+        local_df(
+            spark,
+            [(qid, CANDIDATE_FACTOR * remaining[qid]) for qid in active],
+            "query_id string, pool int",
+        )
+    )
     cands = (
         scored.withColumn("_r", F.row_number().over(wc))
-        .join(qmeta, "query_id")
+        .join(qpool, "query_id")
         .filter(F.col("_r") <= F.col("pool"))
+        .select("query_id", "doc_id", "score")
     )
+    # candidate side is bounded (≤ |queries|·pool id/score rows — ~17 MB for
+    # 1152 queries at sf-bench) → BROADCAST it against the docs table instead
+    # of shuffling docs' rerank_tokens arrays through a sort-merge join
+    # (measured 284 MB of token-array shuffle per batch call); the docs side
+    # stays partition-local, which is the 100-TB-safe orientation. q_rerank/
+    # min2/k attach AFTER the join, once per surviving candidate row.
     enriched = (
-        cands.join(
+        F.broadcast(cands)
+        .join(
             engine._docs.select("doc_id", "conv_id", "update_date", "rerank_tokens"),
             "doc_id",
         )
+        .join(qmeta, "query_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("rerank_tokens", "q_rerank"))
         )
@@ -243,12 +270,28 @@ def search_batch(
     engine.search(text, ...) with the same settings. use_wand=None (default)
     auto-selects the batched per-segment kernel whenever the union of the
     batch's terms has enough estimated postings (same policy as
-    SearchEngine.search). For per-query filter overrides see
-    search_batch_mixed."""
+    SearchEngine.search). Queries whose effective (term weights, rerank
+    tokens) are identical are scored once and share the result list (the
+    rows' query_id column carries the canonical representative's id). For
+    per-query filter overrides see search_batch_mixed."""
     qinfo = _prepare_batch(engine, queries)
     results: dict[str, list] = {qid: [] for qid in queries}
     if not qinfo:
         return results
+    # canonical dedup: queries with identical effective (w_idf, rerank) are
+    # scored ONCE and the result list is shared to every alias — profile
+    # sweeps routinely contain duplicated profiles, and every duplicate
+    # would otherwise repeat full kernel scoring + rerank
+    canon: dict[tuple, str] = {}
+    alias_of: dict[str, str] = {}
+    for qid in sorted(qinfo):
+        info = qinfo[qid]
+        key = (tuple(sorted(info["w_idf"].items())), tuple(info["rerank"]))
+        rep = canon.setdefault(key, qid)
+        if rep != qid:
+            alias_of[qid] = rep
+    for qid in alias_of:
+        del qinfo[qid]
     if use_wand is None:
         union: dict[str, float] = {}
         for info in qinfo.values():
@@ -258,32 +301,40 @@ def search_batch(
     assert lower >= engine.end_days_ago
     upper = engine.end_days_ago
 
+    from ..util import kernel_exec_conf
+
     if not split_time:
         remaining = {qid: max_docs for qid in qinfo}
-        rows = _batch_bucket(
-            engine, qinfo, remaining, min_ngrams, sources, instances,
-            days_ago_str(engine.today, lower), days_ago_str(engine.today, upper),
-            use_wand,
-        ).collect()
+        with kernel_exec_conf(engine.spark):
+            rows = _batch_bucket(
+                engine, qinfo, remaining, min_ngrams, sources, instances,
+                days_ago_str(engine.today, lower), days_ago_str(engine.today, upper),
+                use_wand,
+            ).collect()
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             results[r["query_id"]].append(r)
+        for qid, rep in alias_of.items():
+            results[qid] = list(results[rep])
         return results
 
     # bucket ladder: all queries share the global ladder; per-query quotas
     remaining = {qid: max_docs for qid in qinfo}
     cur_day = engine.end_days_ago
-    while any(k > 0 for k in remaining.values()):
-        rng = get_day_range(cur_day, lower, upper)
-        if rng is None:
-            break
-        begin, end = rng
-        rows = _batch_bucket(
-            engine, qinfo, remaining, min_ngrams, sources, instances,
-            days_ago_str(engine.today, begin), days_ago_str(engine.today, end),
-            use_wand,
-        ).collect()
-        for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
-            results[r["query_id"]].append(r)
-            remaining[r["query_id"]] -= 1
-        cur_day = begin + 1
+    with kernel_exec_conf(engine.spark):
+        while any(k > 0 for k in remaining.values()):
+            rng = get_day_range(cur_day, lower, upper)
+            if rng is None:
+                break
+            begin, end = rng
+            rows = _batch_bucket(
+                engine, qinfo, remaining, min_ngrams, sources, instances,
+                days_ago_str(engine.today, begin), days_ago_str(engine.today, end),
+                use_wand,
+            ).collect()
+            for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
+                results[r["query_id"]].append(r)
+                remaining[r["query_id"]] -= 1
+            cur_day = begin + 1
+    for qid, rep in alias_of.items():
+        results[qid] = list(results[rep])
     return results

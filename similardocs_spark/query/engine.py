@@ -229,9 +229,12 @@ class SearchEngine:
             )
 
         spark = self.spark
+        from ..util import local_df
+
         qterms = F.broadcast(
-            spark.createDataFrame(
-                [(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double"
+            local_df(
+                spark,
+                [(t, w) for t, w in sorted(w_idf.items())], "term string, w_idf double",
             )
         )
         # explicit isin BEFORE the join: the In(term, ...) predicate reaches the

@@ -310,7 +310,9 @@ def wand_score_batch(
         term_slices.update((t, s) for t in w_idf)
     all_terms = sorted({t for t, _ in term_slices})
 
-    postings = engine._postings.filter(F.col("term").isin(all_terms)).select(
+    from ..util import filter_terms
+
+    postings = filter_terms(engine._postings, all_terms).select(
         "seg", "term", "blob"
     )
     docs = engine._docs.filter(F.col("update_date").between(from_str, to_str))
@@ -330,12 +332,14 @@ def wand_score_batch(
         postings = postings.withColumn("slice", F.lit(0))
         docs = docs.withColumn("slice", F.lit(0))
     else:
+        from ..util import local_df
+
         ts_df = F.broadcast(
-            spark.createDataFrame(sorted(term_slices), "term string, slice int")
+            local_df(spark, sorted(term_slices), "term string, slice int")
         )
         postings = postings.join(ts_df, "term")
         slices_df = F.broadcast(
-            spark.createDataFrame([(s,) for s in range(n_slices)], "slice int")
+            local_df(spark, [(s,) for s in range(n_slices)], "slice int")
         )
         docs = docs.crossJoin(slices_df)
 
@@ -389,7 +393,10 @@ def wand_score_bucket(
         .cogroup(docs.groupBy("seg"))
         .applyInPandas(kernel, schema="doc_id long, score float")
     )
-    top = topk_treereduce(per_seg, pool)
+    from ..util import kernel_exec_conf
+
+    with kernel_exec_conf(spark):
+        top = topk_treereduce(per_seg, pool)
     from ..index.build import small_df
 
     return small_df(

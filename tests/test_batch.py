@@ -102,3 +102,15 @@ def test_batch_mixed_empty_set_and_use_wand_grouping(corpus):
     for n in names[1:3]:
         exp = oracle.search(REFERENCE_QUERIES[n])
         assert_hits_equal(res[n], exp, f"mixed wand-group {n}")
+
+
+@pytest.mark.spark
+def test_batch_duplicate_queries_share_results(corpus):
+    """Canonical dedup: textually different but analyzer-identical queries
+    are scored once; every alias receives the full result list."""
+    engine, oracle = corpus
+    text = REFERENCE_QUERIES[list(REFERENCE_QUERIES)[0]]
+    res = engine.search_batch({"a": text, "b": text.upper(), "c": text})
+    exp = oracle.search(text)
+    for qid in ("a", "b", "c"):
+        assert_hits_equal(res[qid], exp, f"dup {qid}")
