@@ -92,17 +92,32 @@ with tempfile.TemporaryDirectory() as root:
         f"q{{i}}": " ".join(f"w{{int(50000 * rng.random() ** 2)}}" for _ in range(4))
         for i in range(N_QUERIES)
     }}
+    def _burn_probe():
+        # single-thread CPU canary (~1-2 s): the sandbox host has bursty CPU
+        # steal that varies identical runs up to 2x; recording a probe around
+        # each measurement lets a reader see WHICH runs hit a steal window
+        t0 = time.time()
+        x = 0
+        for i in range(20_000_000):
+            x += i * i % 7
+        return round(time.time() - t0, 3)
+
+    probe_pre = _burn_probe()
     times = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         res = engine.search_batch(batch)
-        times.append(time.time() - t0)
+        times.append(round(time.time() - t0, 3))
+    probe_post = _burn_probe()
     batch_sec = min(times)
     n_q = len(batch)
 print(json.dumps({{"execs": execs, "cores": cores, "total_cores": execs * cores,
                    "n_convs": N_CONVS,
                    "build_sec": round(build_sec, 3),
-                   "batch_sec": round(batch_sec, 3), "n_queries": n_q,
+                   "batch_sec": round(batch_sec, 3), "batch_times": times,
+                   "burn_probe_pre_sec": probe_pre,
+                   "burn_probe_post_sec": probe_post,
+                   "n_queries": n_q,
                    "qps": round(n_q / batch_sec, 3)}}))
 spark.stop()
 """

@@ -104,7 +104,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash32(docs).orderBy("doc_id")
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(table: str = "documents", pairs_max_hamming: int | None = None) -> str:
     # hex[1:8] of md5 → 32-bit int, digit by digit (engine-portable)
     digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     hexval = " + ".join(
@@ -115,16 +115,50 @@ def _sql_simhash() -> str:
         for j in range(32)
     )
     bits = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32))
-    return f"""
-WITH {sqlgen.stopword_cte()}, {sqlgen.tokens_cte()},
+    base = f"""
+WITH {sqlgen.stopword_cte()}, {sqlgen.tokens_cte(table=table)},
 hashed AS (SELECT doc_id, md5(term) AS h FROM toks),
 hv AS (SELECT doc_id, {hexval} AS hv FROM hashed),
-agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)
+agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id)"""
+    if pairs_max_hamming is None:
+        return base + f"""
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg ORDER BY doc_id
+"""
+    # exact all-pairs oracle: the Spark operator's band-bucketed join has
+    # EXACT recall at ≤ max_hamming (pigeonhole over max_hamming+1 bands),
+    # so banded result ≡ brute force
+    return base + f""",
+sh AS (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM agg)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {pairs_max_hamming}
+ORDER BY doc_a, doc_b
 """
 
 
 SQL_SIMHASH = _sql_simhash()
+
+
+# ------------------------------------------------- 13b. simhash hamming pairs
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded (pigeonhole-exact) SimHash near-dup pairs on a bounded doc
+    slice — the word-soup bench corpus collides simhashes heavily, so the
+    500-doc slice keeps the oracle's O(n²) check and the result set bounded
+    (same slicing convention as embed_near_dups)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+SQL_SIMHASH_PAIRS = _sql_simhash(
+    table="(SELECT * FROM documents WHERE doc_id < 500)", pairs_max_hamming=3
+)
 
 
 # -------------------------------------------------------- 14. n-gram jaccard
@@ -491,6 +525,7 @@ OPS_QUERIES = {
     "dedup_docs": q_dedup_docs,
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
+    "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "embed_near_dups": q_embed_near_dups,
@@ -507,6 +542,7 @@ OPS_SQL = {
     "dedup_docs": SQL_DEDUP_DOCS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,

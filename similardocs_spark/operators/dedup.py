@@ -320,3 +320,71 @@ def ngram_jaccard_pairs(
         .select("probe_id", "doc_id", "jaccard_e6")
     )
     return out
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (doc_a, doc_b, hamming) with
+    Hamming distance ≤ max_hamming between 32-bit simhashes — WITHOUT the
+    O(n²) self-join. The 32 bits are split into (max_hamming + 1) bands;
+    by pigeonhole, any pair within max_hamming differs in at most
+    max_hamming bands and therefore MATCHES EXACTLY on at least one band —
+    so banding has exact (not probabilistic) recall. Candidates join only
+    within (band, key) buckets; every candidate is verified with
+    bit_count(xor) on the full signatures. Oversized buckets (mass-collided
+    signatures) are capped like minhash_lsh_pairs — never silently: the
+    audit query is the same groupBy the cap uses."""
+    nb = max_hamming + 1
+    bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
+    sh = simhash32(docs, text_col)
+    bands = []
+    for b in range(nb):
+        lo, hi = bounds[b], bounds[b + 1]
+        mask = (1 << (hi - lo)) - 1
+        bands.append(
+            sh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    all_bands = bands[0]
+    for x in bands[1:]:
+        all_bands = all_bands.unionByName(x)
+    capped = (
+        all_bands.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a, b_ = capped.alias("a"), capped.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("_sb"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+

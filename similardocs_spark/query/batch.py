@@ -177,18 +177,27 @@ def _batch_bucket(
         .select("query_id", "doc_id", "score")
     )
     # candidate side is bounded (≤ |queries|·pool id/score rows — ~17 MB for
-    # 1152 queries at sf-bench) → BROADCAST it against the docs table instead
-    # of shuffling docs' rerank_tokens arrays through a sort-merge join
-    # (measured 284 MB of token-array shuffle per batch call); the docs side
-    # stays partition-local, which is the 100-TB-safe orientation. q_rerank/
-    # min2/k attach AFTER the join, once per surviving candidate row.
+    # 1152 queries); the docs side must NOT be shuffled (measured 284 MB of
+    # rerank_tokens arrays through a sort-merge join per batch call) and the
+    # 100-TB-safe orientation is docs-stationary. Two docs-stationary shapes:
+    # - cache=True (serving): docs are cached pre-partitioned on doc_id →
+    #   shuffled-hash join: only the candidate side shuffles (to the cached
+    #   partitioning) and each task hash-builds its own candidate slice.
+    #   Broadcasting instead builds the FULL candidate hash relation once
+    #   per executor JVM (~4.5 s each at 8 executors, measured) — broadcast
+    #   cost scales with executor count, per-task hash builds don't.
+    # - cache=False (ad hoc): broadcast the candidates; the docs scan stays
+    #   wherever the source partitions are.
+    # q_rerank/min2/k attach AFTER the join, once per surviving row.
+    docs_fields = engine._docs.select(
+        "doc_id", "conv_id", "update_date", "rerank_tokens"
+    )
+    if engine.cache:
+        joined = cands.hint("shuffle_hash").join(docs_fields, "doc_id")
+    else:
+        joined = F.broadcast(cands).join(docs_fields, "doc_id")
     enriched = (
-        F.broadcast(cands)
-        .join(
-            engine._docs.select("doc_id", "conv_id", "update_date", "rerank_tokens"),
-            "doc_id",
-        )
-        .join(qmeta, "query_id")
+        joined.join(qmeta, "query_id")
         .withColumn(
             "n_common", F.size(F.array_intersect("rerank_tokens", "q_rerank"))
         )

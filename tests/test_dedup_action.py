@@ -87,3 +87,42 @@ def test_lsh_bucket_cap_and_audit(spark):
     assert capped < uncapped
     audited = lsh_oversized_buckets(docs, max_bucket=2).collect()
     assert audited and all(r["bucket_size"] > 2 for r in audited)
+
+
+@pytest.mark.spark
+def test_simhash_pairs_banded_equals_bruteforce(spark):
+    """Pigeonhole exactness: the banded simhash pair join returns EXACTLY the
+    brute-force ≤ max_hamming pair set (recall 1.0 by construction, every
+    candidate verified)."""
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators.dedup import simhash32, simhash_near_dup_pairs
+
+    texts = [
+        "zika dengue fever outbreak tropical",
+        "zika dengue fever outbreak tropics",
+        "completely different subject entirely here",
+        "zika dengue fever outbreaks tropical",
+        "malaria treatment protocol hospital",
+        "malaria treatment protocols hospital",
+    ] * 10
+    docs = spark.createDataFrame(
+        [(i, f"{t} tail{i % 7}") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    for mh in (1, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(docs, max_hamming=mh).collect()
+        }
+        sh = simhash32(docs)
+        a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+        brute = {
+            (r["doc_a"], r["doc_b"], r["h"])
+            for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+            .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
+            .filter(F.col("h") <= mh)
+            .collect()
+        }
+        assert got == brute and len(brute) > 0
