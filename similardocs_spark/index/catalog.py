@@ -42,15 +42,34 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+COMMIT_MARKER = "_SIMDOCS_COMMIT"
+
+
 class ParquetIO:
     """Default substrate: parquet paths + hand-rolled commit semantics
-    (exactly the write patterns the build used before this shim existed)."""
+    (exactly the write patterns the build used before this shim existed).
+
+    Commit detection does not rely solely on Hadoop's _SUCCESS marker:
+    deployments that set mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    false would make a fully committed staging write look partial (and
+    resume_incremental would then DISCARD committed data mid-repair), so
+    every write also drops an own COMMIT_MARKER file after the write job
+    returns; `committed` accepts either marker."""
 
     mode = "parquet"
+
+    @staticmethod
+    def _mark(path: str) -> None:
+        try:
+            with open(os.path.join(path, COMMIT_MARKER), "w"):
+                pass
+        except OSError:
+            pass  # non-local filesystem URI; _SUCCESS remains the marker
 
     def overwrite_partitioned(self, df: DataFrame, path: str, col: str = "seg") -> None:
         """Full overwrite of a partitioned table (createOrReplace)."""
         df.write.partitionBy(col).mode("overwrite").parquet(path)
+        self._mark(path)
 
     def overwrite_dynamic(self, df: DataFrame, path: str, col: str = "seg") -> None:
         """Replace ONLY the partitions present in df (overwritePartitions
@@ -61,13 +80,16 @@ class ParquetIO:
             .mode("overwrite")
             .parquet(path)
         )
+        self._mark(path)
 
     def overwrite(self, df: DataFrame, path: str) -> None:
         df.write.mode("overwrite").parquet(path)
+        self._mark(path)
 
     def append(self, df: DataFrame, path: str) -> None:
         mode = "append" if os.path.exists(path) else "overwrite"
         df.write.mode(mode).parquet(path)
+        self._mark(path)
 
     def read(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
@@ -77,9 +99,13 @@ class ParquetIO:
 
     def committed(self, spark: SparkSession, path: str) -> bool:
         """True iff the write job that produced `path` COMPLETED: parquet
-        jobs place a _SUCCESS marker at job commit; a crash mid-write leaves
-        data files but no marker."""
-        return os.path.exists(os.path.join(path, "_SUCCESS"))
+        jobs place a _SUCCESS marker at job commit (unless
+        marksuccessfuljobs=false) and ParquetIO writes its own marker right
+        after the write call returns; a crash mid-write leaves data files
+        but neither marker."""
+        return os.path.exists(os.path.join(path, "_SUCCESS")) or os.path.exists(
+            os.path.join(path, COMMIT_MARKER)
+        )
 
     def drop(self, spark: SparkSession, path: str) -> None:
         import shutil

@@ -11,6 +11,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -53,8 +54,44 @@ def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray):
-    """Bucket id = sign bits against the seeded hyperplanes (JVM-side)."""
+# Above this embedding dim the JVM literal-array plan is replaced by one
+# Arrow-batched matmul UDF: the literal plan embeds dim×bits F.lit nodes
+# (at dim=768, bits=8, tables=2 that is ~12k literals — Catalyst analysis
+# time + plan bloat), while the UDF closes over the plane matrix and does
+# one numpy (batch × dim) @ (dim × bits) product per Arrow batch.
+LSH_UDF_DIM_THRESHOLD = 64
+
+
+def _lsh_bucket_udf(planes: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.ascontiguousarray(planes.astype(np.float64).T)  # (dim, bits)
+    weights = (np.int64(1) << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = M @ P  # (batch, bits)
+        return pd.Series((proj > 0) @ weights, index=vecs.index)
+
+    return bucket
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray, use_udf: bool | None = None):
+    """Bucket id = sign bits against the seeded hyperplanes.
+
+    Low-dim: JVM-side literal-array dot products (whole-stage codegen, no
+    Python). Above LSH_UDF_DIM_THRESHOLD (or with use_udf=True): one
+    vectorized pandas UDF doing a per-Arrow-batch matrix multiply — plan
+    node count stays flat in dim. Both paths compute sign(planes · v) in
+    float64; all vectors in one invocation use the same path, so bucket
+    assignments are self-consistent."""
+    if use_udf is None:
+        use_udf = planes.shape[1] > LSH_UDF_DIM_THRESHOLD
+    if use_udf:
+        return _lsh_bucket_udf(planes)(vec_col)
     bucket = F.lit(0).cast("long")
     for j, plane in enumerate(planes):
         proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
@@ -103,14 +140,19 @@ def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.9, bits: int = 6,
     tables: int = 2, seed: int = 42, max_bucket: int = 2000,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs at scale: random-hyperplane LSH
     buckets (multiple independent tables union'd for recall), within-bucket
     self-join only, exact cosine verification of candidates, bucket-size cap
     (one hot bucket would make the join O(|bucket|²) — same guard as
     minhash_lsh_pairs). Candidate recall is probabilistic (pytest-verified
-    against the exact operator); every emitted pair is exactly verified."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    against the exact operator); every emitted pair is exactly verified.
+
+    Pass `dim` (the embedding dimensionality) to skip the one-row probe job
+    that otherwise learns it from the data at plan-build time."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     base = embeddings.select(F.col(id_col), F.col(vec_col))
     # candidate generation carries IDS ONLY through the bucket join, the
     # cross-table union and the pair dedup — full vectors would otherwise be

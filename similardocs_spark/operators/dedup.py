@@ -209,22 +209,24 @@ def deduplicate(
                 .groupBy("src")
                 .agg(F.min("nl").alias("nbr"))
             )
-            new_labels = (
+            # ONE join per pass: carry the old label through the update so
+            # convergence detection is a marker scan over the (eagerly
+            # materialized) localCheckpoint blocks — no second join job
+            stepped = (
                 labels.join(nbr_min.withColumnRenamed("src", "doc_id"), "doc_id", "left")
                 .select(
                     "doc_id",
+                    F.col("label").alias("_old"),
                     F.least(F.col("label"), F.coalesce("nbr", F.col("label"))).alias(
                         "label"
                     ),
                 )
-                .localCheckpoint()  # truncate iterative lineage
+                .localCheckpoint()  # truncate iterative lineage (eager)
             )
             changed = (
-                new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
-                .filter(F.col("label") != F.col("old"))
-                .limit(1)
-                .count()
+                stepped.filter(F.col("label") != F.col("_old")).limit(1).count()
             )
+            new_labels = stepped.select("doc_id", "label")
             labels.unpersist()
             labels = new_labels.persist()
             if changed == 0:
@@ -325,23 +327,12 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
-def simhash_near_dup_pairs(
-    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-    max_bucket: int = MAX_BUCKET,
-) -> DataFrame:
-    """SimHash near-duplicate pairs: all (doc_a, doc_b, hamming) with
-    Hamming distance ≤ max_hamming between 32-bit simhashes — WITHOUT the
-    O(n²) self-join. The 32 bits are split into (max_hamming + 1) bands;
-    by pigeonhole, any pair within max_hamming differs in at most
-    max_hamming bands and therefore MATCHES EXACTLY on at least one band —
-    so banding has exact (not probabilistic) recall. Candidates join only
-    within (band, key) buckets; every candidate is verified with
-    bit_count(xor) on the full signatures. Oversized buckets (mass-collided
-    signatures) are capped like minhash_lsh_pairs — never silently: the
-    audit query is the same groupBy the cap uses."""
+def _simhash_bands(sh: DataFrame, max_hamming: int) -> DataFrame:
+    """(doc_id, band, key) rows: the 32 signature bits split into
+    (max_hamming + 1) contiguous bands. Shared by the pair join and the
+    oversized-bucket audit so both see the exact same buckets."""
     nb = max_hamming + 1
     bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
-    sh = simhash32(docs, text_col)
     bands = []
     for b in range(nb):
         lo, hi = bounds[b], bounds[b + 1]
@@ -356,6 +347,48 @@ def simhash_near_dup_pairs(
     all_bands = bands[0]
     for x in bands[1:]:
         all_bands = all_bands.unionByName(x)
+    return all_bands
+
+
+def simhash_oversized_buckets(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Audit helper (no-silent-caps): the (band, key) buckets
+    simhash_near_dup_pairs would DROP, with their sizes. Every dropped
+    bucket also bounds the advertised exact recall — pairs whose only
+    matching band lives in an oversized bucket are not emitted — so run
+    this to quantify what the cap skipped (mirror of
+    lsh_oversized_buckets for the MinHash operator)."""
+    bb = _simhash_bands(simhash32(docs, text_col), max_hamming)
+    return (
+        bb.groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
+    max_bucket: int = MAX_BUCKET, signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: all (doc_a, doc_b, hamming) with
+    Hamming distance ≤ max_hamming between 32-bit simhashes — WITHOUT the
+    O(n²) self-join. The 32 bits are split into (max_hamming + 1) bands;
+    by pigeonhole, any pair within max_hamming differs in at most
+    max_hamming bands and therefore MATCHES EXACTLY on at least one band —
+    so banding has exact (not probabilistic) recall. Candidates join only
+    within (band, key) buckets; every candidate is verified with
+    bit_count(xor) on the full signatures. Oversized buckets (mass-collided
+    signatures) are capped like minhash_lsh_pairs — never silently:
+    simhash_oversized_buckets exposes exactly the dropped buckets (same
+    band split, same groupBy keys the cap uses).
+
+    `signatures`: optional precomputed (doc_id, simhash) table — pipelines
+    that materialize signatures once can reuse them across max_hamming
+    settings instead of re-running the tokenize→vote lineage."""
+    sh = simhash32(docs, text_col) if signatures is None else signatures
+    all_bands = _simhash_bands(sh, max_hamming)
     capped = (
         all_bands.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("band", "key"))

@@ -213,6 +213,16 @@ def _batch_bucket(
     )
 
 
+def _alias_rows(rep_rows: list, qid: str) -> list:
+    """Copy a canonical representative's result rows for an alias query,
+    substituting the alias's own query_id — so the query_id COLUMN always
+    names the dict key it lives under (consumers that flatten results to a
+    table would otherwise silently misattribute alias hits to the rep)."""
+    from pyspark.sql import Row
+
+    return [Row(**{**r.asDict(), "query_id": qid}) for r in rep_rows]
+
+
 def search_batch_mixed(
     engine,
     queries: dict[str, str],
@@ -280,9 +290,11 @@ def search_batch(
     auto-selects the batched per-segment kernel whenever the union of the
     batch's terms has enough estimated postings (same policy as
     SearchEngine.search). Queries whose effective (term weights, rerank
-    tokens) are identical are scored once and share the result list (the
-    rows' query_id column carries the canonical representative's id). For
-    per-query filter overrides see search_batch_mixed."""
+    tokens) are identical are scored once and the result rows are copied to
+    every alias with the alias's own query_id substituted (the query_id
+    column always matches the dict key). Applies to search_batch_mixed
+    too (it groups into search_batch calls). For per-query filter overrides
+    see search_batch_mixed."""
     qinfo = _prepare_batch(engine, queries)
     results: dict[str, list] = {qid: [] for qid in queries}
     if not qinfo:
@@ -323,7 +335,7 @@ def search_batch(
         for r in sorted(rows, key=lambda r: (r["query_id"], r["rank"])):
             results[r["query_id"]].append(r)
         for qid, rep in alias_of.items():
-            results[qid] = list(results[rep])
+            results[qid] = _alias_rows(results[rep], qid)
         return results
 
     # bucket ladder: all queries share the global ladder; per-query quotas
@@ -345,5 +357,5 @@ def search_batch(
                 remaining[r["query_id"]] -= 1
             cur_day = begin + 1
     for qid, rep in alias_of.items():
-        results[qid] = list(results[rep])
+        results[qid] = _alias_rows(results[rep], qid)
     return results

@@ -54,7 +54,12 @@ WAND_AUTO_MIN_POSTINGS = 8192
 
 @pandas_udf(T.ArrayType(T.LongType()))
 def _decode_udf(blobs: pd.Series) -> pd.Series:
-    return blobs.map(lambda b: codec.decode_docids(bytes(b)).tolist())
+    # per-BLOB loop (variable-length codec; one iteration per posting list,
+    # not per doc) returning int64 ndarrays directly — Arrow consumes them
+    # without the per-element tolist() boxing round-trip
+    return pd.Series(
+        [codec.decode_docids(bytes(b)) for b in blobs], index=blobs.index
+    )
 
 
 @dataclass

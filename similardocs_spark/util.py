@@ -1,6 +1,7 @@
 """Small shared utilities for driver-side tables and kernel execution conf."""
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -68,6 +69,11 @@ def filter_terms(df: DataFrame, terms, col: str = "term") -> DataFrame:
     return df.join(tdf, col, "left_semi")
 
 
+_KERNEL_CONF_LOCK = threading.RLock()
+_KERNEL_CONF_DEPTH = 0  # protected by the lock
+_KERNEL_CONF_SAVED = [None]  # value to restore when depth returns to 0
+
+
 @contextmanager
 def kernel_exec_conf(spark: SparkSession):
     """Execution-conf scope for plans whose hot stage is a CPU-bound Python
@@ -78,17 +84,35 @@ def kernel_exec_conf(spark: SparkSession):
     postings+stats collapses to ~8 tasks regardless of cores — measured 7
     tasks / 4.1 s wall on 32 cores for a stage with 22 s of executor CPU.
     Lowering minPartitionSize inside the scope keeps the configured task
-    count for compute-bound stages; AQE (incl. skew splitting) stays on."""
+    count for compute-bound stages; AQE (incl. skew splitting) stays on.
+
+    The conf is session-global; concurrent scopes on the same session
+    (multi-threaded serving) all set the SAME value, so overlap is
+    compatible — what must not interleave is the save/restore bookkeeping.
+    A depth counter under a process-wide lock guards it: only the first
+    scope to enter saves the prior value, only the last to exit restores
+    it, and the lock is NOT held across the body (queries stay concurrent).
+    Residual caveat, by design: an unrelated query planned while any kernel
+    scope is open sees the 16k value — harmless for non-kernel plans (AQE
+    coalescing merely coalesces less)."""
+    global _KERNEL_CONF_DEPTH
     key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
-    try:
-        old = spark.conf.get(key)
-    except Exception:
-        old = None
-    spark.conf.set(key, "16k")
+    with _KERNEL_CONF_LOCK:
+        if _KERNEL_CONF_DEPTH == 0:
+            try:
+                _KERNEL_CONF_SAVED[0] = spark.conf.get(key)
+            except Exception:
+                _KERNEL_CONF_SAVED[0] = None
+            spark.conf.set(key, "16k")
+        _KERNEL_CONF_DEPTH += 1
     try:
         yield
     finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
+        with _KERNEL_CONF_LOCK:
+            _KERNEL_CONF_DEPTH -= 1
+            if _KERNEL_CONF_DEPTH == 0:
+                old = _KERNEL_CONF_SAVED[0]
+                if old is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, old)

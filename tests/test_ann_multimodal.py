@@ -83,6 +83,59 @@ def test_embedding_near_dup_pairs(spark):
 
 
 @pytest.mark.spark
+def test_lsh_bucket_udf_matches_jvm_path(spark, emb):
+    """The vectorized matmul UDF (high-dim path) assigns the same bucket ids
+    as the JVM literal-array plan — both are sign(planes · v) in float64."""
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators.ann import hyperplanes, lsh_bucket_col
+
+    planes = hyperplanes(16, bits=8, seed=3)
+    both = emb.select(
+        "vec_id",
+        lsh_bucket_col(F.col("embedding"), planes, use_udf=False).alias("jvm"),
+        lsh_bucket_col(F.col("embedding"), planes, use_udf=True).alias("udf"),
+    ).collect()
+    assert both and all(r["jvm"] == r["udf"] for r in both)
+
+
+@pytest.mark.spark
+def test_embedding_near_dup_pairs_highdim_udf_path(spark):
+    """dim > LSH_UDF_DIM_THRESHOLD exercises the pandas-UDF bucket path end
+    to end (plan node count stays flat in dim); `dim` passed explicitly so
+    no probe job runs at plan-build time."""
+    from similardocs_spark.operators.ann import (
+        LSH_UDF_DIM_THRESHOLD,
+        embedding_near_dup_pairs,
+        embedding_near_dup_pairs_exact,
+    )
+
+    dim = LSH_UDF_DIM_THRESHOLD + 8
+    rng = np.random.default_rng(13)
+    base = rng.standard_normal((20, dim))
+    rows = []
+    vid = 0
+    for i in range(20):
+        for _ in range(2):
+            v = base[i] + rng.standard_normal(dim) * 0.03
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs_exact(emb, threshold=0.95).collect()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.95, bits=6, tables=3, dim=dim
+        ).collect()
+    }
+    assert exact and approx <= exact
+    assert len(approx) / len(exact) >= 0.8
+
+
+@pytest.mark.spark
 def test_multimodal_features(spark):
     from similardocs_spark.operators.multimodal import (
         FEATURE_DIM,

@@ -114,3 +114,6 @@ def test_batch_duplicate_queries_share_results(corpus):
     exp = oracle.search(text)
     for qid in ("a", "b", "c"):
         assert_hits_equal(res[qid], exp, f"dup {qid}")
+        # alias rows carry the ALIAS's query_id, not the representative's —
+        # consumers flattening results to a table key off the column
+        assert all(r["query_id"] == qid for r in res[qid]), qid

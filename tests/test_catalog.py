@@ -174,7 +174,13 @@ def test_parquet_io_exists_committed_drop(spark, tmp_path):
     assert not io.exists(spark, p)
     io.overwrite(spark.createDataFrame([(1,)], "x long"), p)
     assert io.exists(spark, p) and io.committed(spark, p)
+    # marksuccessfuljobs=false deployments: no _SUCCESS, own marker suffices
     os.remove(os.path.join(p, "_SUCCESS"))
+    assert io.exists(spark, p) and io.committed(spark, p)
+    # a real crash mid-write leaves NEITHER marker → partial
+    from similardocs_spark.index.catalog import COMMIT_MARKER
+
+    os.remove(os.path.join(p, COMMIT_MARKER))
     assert io.exists(spark, p) and not io.committed(spark, p)
     io.drop(spark, p)
     assert not io.exists(spark, p)

@@ -90,6 +90,37 @@ def test_lsh_bucket_cap_and_audit(spark):
 
 
 @pytest.mark.spark
+def test_simhash_bucket_cap_and_audit(spark):
+    """Same no-silent-cap contract as MinHash: signatures engineered into one
+    bucket beyond the cap are skipped from the pair join but visible via
+    simhash_oversized_buckets."""
+    from similardocs_spark.operators.dedup import (
+        simhash_near_dup_pairs,
+        simhash_oversized_buckets,
+    )
+    from similardocs_spark.util import local_df
+
+    # 8 signatures identical in band 0 (low bits), spread in high bits
+    sigs = [(i, (i << 28) | 0x0000ABC) for i in range(8)]
+    sig_df = local_df(spark, sigs, "doc_id long, simhash long")
+    uncapped = simhash_near_dup_pairs(
+        None, max_hamming=3, signatures=sig_df, max_bucket=2000
+    ).count()
+    capped = simhash_near_dup_pairs(
+        None, max_hamming=3, signatures=sig_df, max_bucket=2
+    ).count()
+    assert capped < uncapped
+
+    # the audit helper runs the full text→signature lineage itself
+    docs = spark.createDataFrame(
+        [(i, NEAR_A + f" tail{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    over = simhash_oversized_buckets(docs, max_hamming=3, max_bucket=2).collect()
+    assert over and all(r["bucket_size"] > 2 for r in over)
+
+
+@pytest.mark.spark
 def test_simhash_pairs_banded_equals_bruteforce(spark):
     """Pigeonhole exactness: the banded simhash pair join returns EXACTLY the
     brute-force ≤ max_hamming pair set (recall 1.0 by construction, every
@@ -126,3 +157,66 @@ def test_simhash_pairs_banded_equals_bruteforce(spark):
             .collect()
         }
         assert got == brute and len(brute) > 0
+
+
+def test_simhash_band_bounds_partition_all_bits():
+    """Pin the band-split arithmetic for every practical max_hamming: the
+    (max_hamming + 1) bands must partition bits 0..31 exactly — full
+    coverage, no overlap, no empty band — which is the precondition for the
+    pigeonhole exact-recall guarantee."""
+    from similardocs_spark.operators.dedup import SIMHASH_BITS
+
+    for mh in range(1, 16):
+        nb = mh + 1
+        bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
+        assert bounds[0] == 0 and bounds[-1] == SIMHASH_BITS
+        widths = [bounds[i + 1] - bounds[i] for i in range(nb)]
+        assert all(w >= 1 for w in widths), (mh, widths)
+        assert sum(widths) == SIMHASH_BITS
+
+
+@pytest.mark.spark
+def test_simhash_pairs_banded_equals_bruteforce_sweep(spark):
+    """Banded ≡ brute-force for max_hamming 1..8 over adversarial random
+    signatures (planted near pairs at every distance), exercising every band
+    split's masking/shifting — signatures precomputed once and fed via the
+    `signatures` parameter so the sweep is pure band math, no tokenizing."""
+    import random
+
+    from similardocs_spark.operators.dedup import simhash_near_dup_pairs
+    from similardocs_spark.util import local_df
+
+    rng = random.Random(42)
+    sigs: list[tuple[int, int]] = []
+    doc_id = 0
+    for _ in range(40):
+        base = rng.getrandbits(32)
+        sigs.append((doc_id, base))
+        doc_id += 1
+        # plant a neighbor at every distance 0..9 from some base
+        d = rng.randrange(10)
+        flipped = base
+        for bit in rng.sample(range(32), d):
+            flipped ^= 1 << bit
+        sigs.append((doc_id, flipped))
+        doc_id += 1
+    sig_df = local_df(spark, sigs, "doc_id long, simhash long")
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    for mh in range(1, 9):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                None, max_hamming=mh, signatures=sig_df
+            ).collect()
+        }
+        brute = {
+            (a, b, hamming(sa, sb))
+            for a, sa in sigs
+            for b, sb in sigs
+            if a < b and hamming(sa, sb) <= mh
+        }
+        assert got == brute, f"max_hamming={mh}"
+        assert brute, f"fixture must contain pairs at max_hamming={mh}"

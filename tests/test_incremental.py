@@ -269,10 +269,16 @@ def test_resume_discards_uncommitted_staging(spark, tmp_path):
         )
 
     pre = read_docs()
-    # fabricate a staging write that died mid-job: real seg dirs, no _SUCCESS
+    # fabricate a staging write that died mid-job: real seg dirs, neither
+    # the Hadoop _SUCCESS marker nor ParquetIO's own commit marker
+    from similardocs_spark.index.catalog import COMMIT_MARKER
+
     stage = paths.docs + ".staging"
     shutil.copytree(paths.docs, stage)
     os.remove(os.path.join(stage, "_SUCCESS"))
+    marker = os.path.join(stage, COMMIT_MARKER)
+    if os.path.exists(marker):
+        os.remove(marker)
     # drop one seg dir to make it visibly partial
     seg_dirs = sorted(glob.glob(os.path.join(stage, "seg=*")))
     shutil.rmtree(seg_dirs[-1])
