@@ -7,15 +7,23 @@ than 2h) by running the similarity search with maxDocs=Conf.maxDocs and
 splitTime=true; retrieval interleaves per-profile id lists round-robin
 (limitDocs) and applies an optional recency gate on update_date.
 
-Spark-native shape: a small parquet table (Iceberg MERGE INTO at scale; this
-sandbox lacks the runtime jar, so upserts are read-modify-write of a tiny
-table) + ONE batch job for the updater instead of a polling one-at-a-time
-Future loop. `update_time == 0` is the stale marker, exactly as the reference
-(TopIndex.scala:651,697-698).
-"""
+Spark-native shape: a parquet table (Iceberg MERGE INTO on deployments with
+the runtime jar) + ONE batch job for the updater instead of a polling
+one-at-a-time Future loop. `update_time == 0` is the stale marker, exactly
+as the reference (TopIndex.scala:651,697-698).
+
+Scale shape: every mutation is a DATAFLOW — filter / join against a
+LocalRelation of changed rows, staged write, atomic-ish swap — never a
+full-table collect to the driver. Driver residency is bounded by one
+updater CHUNK (ids + contents of `chunk_size` stale profiles at a time via
+toLocalIterator) plus the per-chunk result id lists, which stream to a
+spill parquet before the final merge join. The reference's table is tiny
+(per-user profiles), but at millions of profiles the old read-modify-write
+was a driver bottleneck (round-3 review)."""
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -27,7 +35,11 @@ SCHEMA = (
     "id string, user string, prof_name string, prof_content string, "
     "creation_time long, update_time long, sd_ids array<long>, sd_scores array<float>"
 )
+RESULT_SCHEMA = (
+    "id string, _new_ids array<long>, _new_scores array<float>, _new_time long"
+)
 STALE_DELTA_MS = 2 * 60 * 60 * 1000  # TopIndex.scala:54 deltaTime
+UPDATE_CHUNK = 10_000  # stale profiles materialized on the driver at a time
 
 
 def profile_id(user: str, name: str) -> str:
@@ -46,39 +58,93 @@ class ProfileStore:
     def _read(self) -> DataFrame:
         from .index.build import small_df
 
+        self._recover()
         if not os.path.exists(self.path):
             return small_df(self.spark, [], SCHEMA)
         return self.spark.read.parquet(self.path)
 
-    def _write(self, df: DataFrame) -> None:
-        from .index.build import small_df
+    # ------------------------------------------------------ staged overwrite
 
-        rows = [tuple(r) for r in df.collect()]  # tiny table; single-slice write
-        small_df(self.spark, rows, SCHEMA).write.mode("overwrite").parquet(self.path)
+    def _stage(self) -> str:
+        return self.path + ".staging"
+
+    def _old(self) -> str:
+        return self.path + ".old"
+
+    def _recover(self) -> None:
+        """Finish or roll back a swap interrupted by a crash: a COMMITTED
+        staging next to a missing live table is rolled forward; anything
+        else partial is discarded (the live table — possibly parked at
+        .old — is restored)."""
+        from .index.catalog import ParquetIO
+
+        io = ParquetIO()
+        stage, old = self._stage(), self._old()
+        if not os.path.exists(self.path):
+            if os.path.exists(stage) and io.committed(self.spark, stage):
+                os.rename(stage, self.path)  # roll forward
+            elif os.path.exists(old):
+                os.rename(old, self.path)  # roll back
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _write_staged(self, df: DataFrame) -> None:
+        """Overwrite the store FROM A PLAN THAT READS IT: write to a staging
+        dir first (the source parquet is still live while the job runs),
+        then swap directories. On an Iceberg substrate this whole dance is a
+        single MERGE INTO / overwrite snapshot; the parquet fallback keeps
+        the same crash-repairable two-phase shape as index/incremental."""
+        from .index.catalog import ParquetIO
+
+        io = ParquetIO()
+        stage, old = self._stage(), self._old()
+        shutil.rmtree(stage, ignore_errors=True)
+        io.overwrite(df, stage)  # writes the commit marker
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(stage, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    def _merge_rows(self, changed: list[dict]) -> None:
+        """Upsert a bounded set of fully-specified rows: anti-join the live
+        table against the changed ids, union the new rows, staged write.
+        One shuffle-free broadcast anti-join regardless of table size."""
+        from .util import _schema_columns, local_df
+
+        cols = _schema_columns(SCHEMA)
+        changed_df = local_df(
+            self.spark, [tuple(d[c] for c in cols) for d in changed], SCHEMA
+        )
+        survivors = self._read().join(
+            F.broadcast(changed_df.select("id")), "id", "left_anti"
+        )
+        self._write_staged(survivors.unionByName(changed_df))
 
     # ------------------------------------------------------------------ CRUD
 
     def add_profile(self, user: str, name: str, content: str, now_ms: int) -> None:
         """Upsert; an unchanged content is a no-op, a changed one resets
-        update_time to 0 (stale) — TopIndex.scala:105-135."""
+        update_time to 0 (stale) — TopIndex.scala:105-135. Reads ONLY the
+        targeted row; the rewrite is an anti-join merge, not a collect."""
         pid = profile_id(user, name)
-        rows = {r["id"]: r.asDict() for r in self._read().collect()}
-        old = rows.get(pid)
-        if old is not None and old["prof_content"] == content:
+        old = self._read().filter(F.col("id") == pid).collect()
+        old_row = old[0].asDict() if old else None
+        if old_row is not None and old_row["prof_content"] == content:
             return
-        creation = old["creation_time"] if old else now_ms
-        rows[pid] = dict(
-            id=pid, user=user, prof_name=name, prof_content=content,
-            creation_time=creation, update_time=0, sd_ids=[], sd_scores=[],
-        )
-        self._write(self.spark.createDataFrame(list(rows.values()), SCHEMA))
+        creation = old_row["creation_time"] if old_row else now_ms
+        self._merge_rows([
+            dict(
+                id=pid, user=user, prof_name=name, prof_content=content,
+                creation_time=creation, update_time=0, sd_ids=[], sd_scores=[],
+            )
+        ])
 
     def delete_profile(self, user: str, name: str) -> None:
         pid = profile_id(user, name)
-        self._write(self._read().filter(F.col("id") != pid))
+        self._write_staged(self._read().filter(F.col("id") != pid))
 
     def delete_user(self, user: str) -> None:
-        self._write(self._read().filter(F.col("user") != user))
+        self._write_staged(self._read().filter(F.col("user") != user))
 
     def get_profiles(self, user: str) -> list:
         return (
@@ -90,59 +156,107 @@ class ProfileStore:
 
     # -------------------------------------------------------------- updating
 
-    def update_stale(self, engine, now_ms: int, delta_ms: int = STALE_DELTA_MS) -> int:
+    def _search_chunk(self, engine, chunk: list[tuple[str, str]], now_ms: int) -> list:
+        """Refresh one chunk of (id, content) → RESULT_SCHEMA tuples."""
+        kwargs = dict(
+            max_docs=DEFAULT_MAX_DOCS, min_ngrams=DEFAULT_MIN_NGRAMS,
+            split_time=True,
+        )
+        if hasattr(engine, "search_batch"):
+            res = engine.search_batch(dict(chunk), **kwargs)
+        else:  # engines without batch support (e.g. test fakes)
+            res = {pid: engine.search(content, **kwargs) for pid, content in chunk}
+        return [
+            (
+                pid,
+                [int(h.doc_id) for h in res.get(pid, [])],
+                [float(h.score) for h in res.get(pid, [])],
+                now_ms,
+            )
+            for pid, _ in chunk
+        ]
+
+    def update_stale(
+        self, engine, now_ms: int, delta_ms: int = STALE_DELTA_MS,
+        chunk_size: int = UPDATE_CHUNK,
+    ) -> int:
         """Batch refresh of every stale profile (update_time == 0 or older than
         delta) — the Spark-native form of the reference's one-at-a-time
-        background Future loop (TopIndex.scala:624-666). All stale profiles go
-        through ONE batched search plan (search_batch) when the engine supports
-        it. Returns #refreshed."""
-        rows = [r.asDict() for r in self._read().collect()]
-        stale = [
-            row for row in rows
-            if row["update_time"] == 0 or row["update_time"] < now_ms - delta_ms
-        ]
-        if not stale:
-            return 0
-        if hasattr(engine, "search_batch"):
-            res = engine.search_batch(
-                {row["id"]: row["prof_content"] for row in stale},
-                max_docs=DEFAULT_MAX_DOCS,
-                min_ngrams=DEFAULT_MIN_NGRAMS,
-                split_time=True,
+        background Future loop (TopIndex.scala:624-666). Dataflow shape:
+
+          stale = filter(update_time stale)           # never collected whole
+          for each chunk of `chunk_size` (id, content) via toLocalIterator:
+              search_batch(chunk) → result rows appended to a spill parquet
+          merged = profiles LEFT JOIN spill ON id     # one join
+          staged write + swap
+
+        Driver residency is one chunk of contents + one chunk of top-k id
+        lists at a time; everything else stays distributed. Returns
+        #refreshed."""
+        df = self._read()
+        stale_cond = (F.col("update_time") == 0) | (
+            F.col("update_time") < now_ms - delta_ms
+        )
+        stale = df.filter(stale_cond).select("id", "prof_content")
+        from .util import local_df
+
+        spill = self.path + ".updates"
+        shutil.rmtree(spill, ignore_errors=True)
+        n_refreshed = 0
+        chunk: list[tuple[str, str]] = []
+
+        def flush() -> None:
+            nonlocal n_refreshed
+            if not chunk:
+                return
+            rows = self._search_chunk(engine, chunk, now_ms)
+            local_df(self.spark, rows, RESULT_SCHEMA).write.mode("append").parquet(
+                spill
             )
-            for row in stale:
-                hits = res.get(row["id"], [])
-                row["sd_ids"] = [int(h.doc_id) for h in hits]
-                row["sd_scores"] = [float(h.score) for h in hits]
-                row["update_time"] = now_ms
-        else:  # engines without batch support (e.g. test fakes)
-            for row in stale:
-                hits = engine.search(
-                    row["prof_content"],
-                    max_docs=DEFAULT_MAX_DOCS,
-                    min_ngrams=DEFAULT_MIN_NGRAMS,
-                    split_time=True,
-                )
-                row["sd_ids"] = [int(h.doc_id) for h in hits]
-                row["sd_scores"] = [float(h.score) for h in hits]
-                row["update_time"] = now_ms
-        self._write(self.spark.createDataFrame(rows, SCHEMA))
-        return len(stale)
+            n_refreshed += len(chunk)
+            chunk.clear()
+
+        for r in stale.toLocalIterator():
+            chunk.append((r["id"], r["prof_content"]))
+            if len(chunk) >= chunk_size:
+                flush()
+        flush()
+        if n_refreshed == 0:
+            return 0
+        res_df = self.spark.read.parquet(spill)
+        merged = (
+            df.join(res_df, "id", "left")
+            .select(
+                "id", "user", "prof_name", "prof_content", "creation_time",
+                F.coalesce("_new_time", F.col("update_time")).alias("update_time"),
+                F.coalesce("_new_ids", F.col("sd_ids")).alias("sd_ids"),
+                F.coalesce("_new_scores", F.col("sd_scores")).alias("sd_scores"),
+            )
+        )
+        self._write_staged(merged)
+        shutil.rmtree(spill, ignore_errors=True)
+        return n_refreshed
 
     def reset_all_times(self, user: str | None = None) -> int:
         """Mark profiles stale (update_time = 0) — the reference's
         resetAllTimes/reset paths (TopIndex.scala:730-821); optionally scoped
-        to one user. The next update_stale() rematerializes them."""
-        rows = [r.asDict() for r in self._read().collect()]
-        n = 0
-        for row in rows:
-            if user is None or row["user"] == user:
-                if row["update_time"] != 0:
-                    row["update_time"] = 0
-                    n += 1
+        to one user. The next update_stale() rematerializes them. Pure
+        dataflow: count + conditional column rewrite, no collect."""
+        df = self._read()
+        cond = F.col("update_time") != 0
+        if user is not None:
+            cond = cond & (F.col("user") == user)
+        n = df.filter(cond).count()
         if n:
-            self._write(self.spark.createDataFrame(rows, SCHEMA))
-        return n
+            self._write_staged(
+                df.withColumn(
+                    "update_time",
+                    F.when(cond, F.lit(0).cast("long")).otherwise(
+                        F.col("update_time")
+                    ),
+                )
+            )
+        return int(n)
 
     def update_all(self, engine, now_ms: int) -> int:
         """Force-refresh every profile regardless of staleness
@@ -164,12 +278,18 @@ class ProfileStore:
         """Round-robin interleave of the per-profile materialized id lists
         (limitDocs — TopIndex.scala:455-478), then doc-field lookup with an
         optional update_date recency gate (TopIndex.scala:410-443). Profiles
-        with update_time == 0 are refreshed on demand (TopIndex.scala:386-388)."""
-        table = {r["id"]: r.asDict() for r in self._read().collect()}
+        with update_time == 0 are refreshed on demand (TopIndex.scala:386-388).
+        Reads ONLY the requested profile rows; on-demand refreshes merge back
+        via the bounded upsert, never a full-table rewrite."""
+        pids = [profile_id(user, name) for name in names]
+        table = {
+            r["id"]: r.asDict()
+            for r in self._read().filter(F.col("id").isin(pids)).collect()
+        }
         id_lists: list[list[int]] = []
-        dirty = False
-        for name in names:
-            row = table.get(profile_id(user, name))
+        dirty_rows: list[dict] = []
+        for pid in pids:
+            row = table.get(pid)
             if row is None:
                 continue
             if row["update_time"] == 0:
@@ -180,11 +300,11 @@ class ProfileStore:
                 row["sd_ids"] = [int(h.doc_id) for h in hits]
                 row["sd_scores"] = [float(h.score) for h in hits]
                 row["update_time"] = now_ms or 1
-                dirty = True
+                dirty_rows.append(row)
             if row["sd_ids"]:
                 id_lists.append(list(row["sd_ids"]))
-        if dirty:
-            self._write(self.spark.createDataFrame(list(table.values()), SCHEMA))
+        if dirty_rows:
+            self._merge_rows(dirty_rows)
 
         ids = limit_docs(id_lists, max_docs)
         if not ids:

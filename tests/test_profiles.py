@@ -74,3 +74,70 @@ def test_reset_and_update_all(spark, tmp_path):
     assert all(p["update_time"] == 0 for p in profs)
     assert store.update_all(eng, now_ms=200) == 2
     assert all(p["update_time"] == 200 for p in store.get_profiles("u"))
+
+
+class FakeBatchEngine:
+    """Batch-capable fake: records chunk sizes; hits derived from content."""
+
+    def __init__(self):
+        self.batches: list[int] = []
+
+    def search_batch(self, queries, **kw):
+        self.batches.append(len(queries))
+        return {
+            qid: [FakeHit(len(content) + i, 1.0 / (i + 1)) for i in range(3)]
+            for qid, content in queries.items()
+        }
+
+
+@pytest.mark.spark
+def test_update_stale_chunked_batches(spark, tmp_path):
+    """The updater streams stale profiles through search_batch in
+    chunk_size slices (driver holds one chunk of contents at a time)."""
+    store = ProfileStore(spark, str(tmp_path / "p3"))
+    eng = FakeBatchEngine()
+    for i in range(10):
+        store.add_profile("u", f"p{i}", f"zika dengue {'x' * i}", now_ms=10)
+    assert store.update_stale(eng, now_ms=100, chunk_size=3) == 10
+    assert sorted(eng.batches, reverse=True) == [3, 3, 3, 1]
+    profs = store.get_profiles("u")
+    assert all(p["update_time"] == 100 and len(p["sd_ids"]) == 3 for p in profs)
+
+
+@pytest.mark.spark
+def test_update_stale_large_store_bounded_driver(spark, tmp_path):
+    """100k-profile store: stale filter → chunked batch refresh → one merge
+    join → staged swap, with no full-table collect anywhere in the update
+    path. Verification is itself collect-free (counts + a filtered probe)."""
+    from pyspark.sql import functions as F
+
+    store = ProfileStore(spark, str(tmp_path / "p100k"))
+    n = 100_000
+    # bulk-seed the store table directly (add_profile per row would be 100k
+    # upsert jobs); half fresh, half stale
+    seed = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("id"),
+        F.concat(F.lit("user"), (F.col("id") % 1000)).alias("user"),
+        F.concat(F.lit("p"), F.col("id")).alias("prof_name"),
+        F.concat(F.lit("zika dengue "), F.col("id")).alias("prof_content"),
+        F.lit(10).cast("long").alias("creation_time"),
+        (F.when(F.col("id") % 2 == 0, 0).otherwise(999_999_999_999))
+        .cast("long")
+        .alias("update_time"),
+        F.array().cast("array<long>").alias("sd_ids"),
+        F.array().cast("array<float>").alias("sd_scores"),
+    )
+    seed.write.parquet(store.path)
+
+    eng = FakeBatchEngine()
+    refreshed = store.update_stale(eng, now_ms=100, chunk_size=16_384)
+    assert refreshed == n // 2
+    assert sum(eng.batches) == n // 2
+    assert all(b <= 16_384 for b in eng.batches)
+    df = store._read()
+    assert df.count() == n
+    assert df.filter(F.col("update_time") == 100).count() == n // 2
+    probe = df.filter(F.col("id") == "u42").collect()[0]  # 42 is even → stale
+    assert probe["update_time"] == 100 and len(probe["sd_ids"]) == 3
+    fresh = df.filter(F.col("id") == "u43").collect()[0]
+    assert fresh["update_time"] == 999_999_999_999 and fresh["sd_ids"] == []
