@@ -1,0 +1,302 @@
+"""Run the dedup/ANN operators at corpus scale (round-3 verdict item 2).
+
+The search path's scaling evidence runs on a 300k-conversation Zipf corpus;
+the LLM-pipeline operators had only ever executed on ≤5k docs. This harness
+pushes them through the same-scale corpus with SEEDED near-duplicate
+injections (so the pair sets are non-trivial) and records per-operator wall
+time, shuffle read/write bytes (UI REST, stage-windowed), result sizes, the
+oversized-bucket audits, and the label-propagation iteration count.
+
+Corpus: one document per conversation (turns concatenated; same Zipf word
+law as the scaling corpus), plus
+  - 1% exact duplicates (verbatim copies of base docs)
+  - 2% near duplicates (every 40th token of a base doc replaced)
+Embeddings: dim 96 (exercises the vectorized matmul bucket path, > the
+64-dim literal-plan threshold) deterministic per-id vectors, with 2%
+planted near-dup vectors (base + small noise).
+
+Scaling pairs: run once per parallelism level (separate processes — one
+SparkSession per JVM), then --merge combines levels into
+BENCH_OPS_SCALING.json with per-op efficiency.
+
+Usage:
+  python scripts/ops_scale.py --cores 8  --convs 300000 --out ops8.json
+  python scripts/ops_scale.py --cores 32 --convs 300000 --out ops32.json
+  python scripts/ops_scale.py --merge ops8.json ops32.json \
+      --out BENCH_OPS_SCALING.json
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+UI_PORT = 4059
+DIM = 96
+
+
+def stages_snapshot() -> list[dict]:
+    url = f"http://localhost:{UI_PORT}/api/v1/applications"
+    apps = json.load(urllib.request.urlopen(url, timeout=10))
+    app_id = apps[0]["id"]
+    url = (
+        f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}"
+        "/stages?status=complete"
+    )
+    return json.load(urllib.request.urlopen(url, timeout=30))
+
+
+def make_docs(spark, n_base: int):
+    """(doc_id, text) with seeded exact + near duplicate injections."""
+    from pyspark.sql import functions as F
+
+    from bench import synth_transcripts_zipf
+
+    tdf = synth_transcripts_zipf(spark, n_convs=n_base)
+    base = (
+        tdf.groupBy("conv_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).getField("text")
+            ).alias("text")
+        )
+        .select(
+            F.substring("conv_id", 5, 9).cast("long").alias("doc_id"), "text"
+        )
+    )
+    n_exact = n_base // 100
+    n_near = n_base // 50
+    exact = base.filter(F.col("doc_id") < n_exact).select(
+        (F.col("doc_id") + n_base).alias("doc_id"), "text"
+    )
+    near = (
+        base.filter(F.col("doc_id") < n_near)
+        .select((F.col("doc_id") + n_base + n_exact).alias("doc_id"), "text")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.split("text", " "),
+                    lambda tok, i: F.when(
+                        i % 40 == 7,
+                        F.concat(F.lit("zzedit"), F.col("doc_id").cast("string")),
+                    ).otherwise(tok),
+                ),
+            ).alias("text"),
+        )
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+def make_embeddings(spark, n_base: int):
+    """(vec_id, embedding float[DIM]): deterministic per-id vectors + 2%
+    planted near-dups (vec(base) + 0.03·noise)."""
+    import numpy as np
+    import pandas as pd
+
+    n_near = n_base // 50
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = np.empty((len(ids), DIM), dtype=np.float64)
+            for j, i in enumerate(ids):
+                if i >= n_base:
+                    b = int(i - n_base)
+                    rng = np.random.default_rng(b)
+                    v = rng.standard_normal(DIM)
+                    v = v + np.random.default_rng(10**9 + int(i)).standard_normal(DIM) * 0.03
+                else:
+                    v = np.random.default_rng(int(i)).standard_normal(DIM)
+                out[j] = v
+            yield pd.DataFrame(
+                {"vec_id": ids, "embedding": [r.astype(np.float32) for r in out]}
+            )
+
+    return (
+        spark.range(n_base + n_near)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .mapInPandas(gen, schema="vec_id long, embedding array<float>")
+    )
+
+
+def run_level(args) -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName(f"ops-scale-{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(max(32, 2 * args.cores)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.retainedStages", "3000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators import ann, dedup
+
+    t0 = time.time()
+    docs = make_docs(spark, args.convs)
+    # materialize to parquet: every operator reads the same committed input
+    # (and the Zipf generator lineage is not re-run per operator)
+    import tempfile
+
+    droot = tempfile.mkdtemp(prefix="ops_docs_")
+    docs.write.mode("overwrite").parquet(droot + "/docs")
+    docs = spark.read.parquet(droot + "/docs")
+    n_docs = docs.count()
+    emb = make_embeddings(spark, args.convs)
+    emb.write.mode("overwrite").parquet(droot + "/emb")
+    emb = spark.read.parquet(droot + "/emb")
+    n_emb = emb.count()
+    gen_sec = round(time.time() - t0, 1)
+
+    results: dict[str, dict] = {}
+
+    def measured(name: str, fn):
+        pre = {s["stageId"] for s in stages_snapshot()}
+        t = time.time()
+        out = fn()
+        wall = round(time.time() - t, 2)
+        stages = [s for s in stages_snapshot() if s["stageId"] not in pre]
+        results[name] = {
+            "wall_sec": wall,
+            "n_stages": len(stages),
+            "shuffleReadMB": round(
+                sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+            ),
+            "shuffleWriteMB": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            ),
+            **out,
+        }
+        print(f"[{args.cores}c] {name}: {json.dumps(results[name])}", flush=True)
+
+    measured(
+        "exact_dedup_stats",
+        lambda: dedup.exact_dedup_stats(docs).collect()[0].asDict(),
+    )
+    measured(
+        "minhash_lsh_pairs",
+        lambda: {"n_pairs": dedup.minhash_lsh_pairs(docs).count()},
+    )
+    measured(
+        "minhash_oversized_audit",
+        lambda: {
+            "n_oversized_buckets": dedup.lsh_oversized_buckets(docs).count()
+        },
+    )
+
+    def run_dedup():
+        stats: dict = {}
+        n_kept = dedup.deduplicate(docs, stats=stats).count()
+        return {"n_kept": n_kept, "n_dropped": n_docs - n_kept, **stats}
+
+    measured("deduplicate", run_dedup)
+
+    def run_simhash():
+        pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+        n = pairs.count()
+        return {"n_pairs": n}
+
+    measured("simhash_pairs", run_simhash)
+    measured(
+        "simhash_oversized_audit",
+        lambda: {
+            "n_oversized_buckets": dedup.simhash_oversized_buckets(
+                docs, max_hamming=3
+            ).count()
+        },
+    )
+
+    def run_embed():
+        pairs = ann.embedding_near_dup_pairs(
+            emb, threshold=0.9, bits=14, tables=2, dim=DIM
+        )
+        return {"n_pairs": pairs.count()}
+
+    measured("embedding_near_dup_pairs", run_embed)
+
+    out = {
+        "cores": args.cores,
+        "n_docs": n_docs,
+        "n_embeddings": n_emb,
+        "gen_sec": gen_sec,
+        "ops": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", args.out, flush=True)
+    import shutil
+
+    shutil.rmtree(droot, ignore_errors=True)
+    spark.stop()
+
+
+def merge(args) -> None:
+    levels = [json.load(open(p)) for p in args.merge]
+    levels.sort(key=lambda d: d["cores"])
+    lo, hi = levels[0], levels[-1]
+    ratio = hi["cores"] / lo["cores"]
+    ops = {}
+    for name in lo["ops"]:
+        a, b = lo["ops"][name], hi["ops"].get(name)
+        if not b:
+            continue
+        speedup = round(a["wall_sec"] / b["wall_sec"], 3) if b["wall_sec"] else None
+        ops[name] = {
+            f"wall_sec_{lo['cores']}c": a["wall_sec"],
+            f"wall_sec_{hi['cores']}c": b["wall_sec"],
+            "speedup": speedup,
+            "efficiency": round(speedup / ratio, 3) if speedup else None,
+            "shuffleWriteMB": b["shuffleWriteMB"],
+            "details": {
+                k: v
+                for k, v in b.items()
+                if k not in ("wall_sec", "shuffleReadMB", "shuffleWriteMB", "n_stages")
+            },
+        }
+    out = {
+        "corpus": {
+            "n_docs": hi["n_docs"],
+            "n_embeddings": hi["n_embeddings"],
+            "injections": "1% exact dups, 2% near dups (1 token per 40 edited), "
+            "2% near-dup embeddings (dim 96)",
+        },
+        "levels": [d["cores"] for d in levels],
+        "core_ratio": ratio,
+        "ops": ops,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cores", type=int, default=32)
+    p.add_argument("--convs", type=int, default=300_000)
+    p.add_argument("--merge", nargs="*", default=None)
+    p.add_argument("--out", default="ops_scale.json")
+    args = p.parse_args()
+    if args.merge:
+        merge(args)
+    else:
+        run_level(args)
+
+
+if __name__ == "__main__":
+    main()

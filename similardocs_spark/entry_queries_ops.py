@@ -161,6 +161,50 @@ SQL_SIMHASH_PAIRS = _sql_simhash(
 )
 
 
+# ---------------------------------------------- 13c. simhash bucket audit
+
+
+SIMHASH_AUDIT_MAX_BUCKET = 8
+
+
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_oversized_buckets: the no-silent-caps audit — (band, key)
+    buckets larger than the cap, i.e. exactly what simhash_near_dup_pairs
+    would skip. The word-soup corpus mass-collides simhashes, so a small
+    cap on the 500-doc slice yields a non-trivial, bounded audit set."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return dedup.simhash_oversized_buckets(
+        docs, max_hamming=3, max_bucket=SIMHASH_AUDIT_MAX_BUCKET
+    ).orderBy("band", "key")
+
+
+def _sql_simhash_buckets(max_bucket: int = SIMHASH_AUDIT_MAX_BUCKET) -> str:
+    # same banding arithmetic as operators/dedup._simhash_bands at
+    # max_hamming=3: four 8-bit bands, key = (simhash >> 8b) & 255
+    base = _sql_simhash(table="(SELECT * FROM documents WHERE doc_id < 500)")
+    base = base[: base.rindex("SELECT doc_id,")]  # keep the CTE chain
+    # (rindex: the final projection — "SELECT doc_id," also opens the agg CTE)
+    bands = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, (simhash >> {8 * b}) & 255 AS key FROM sh"
+        for b in range(4)
+    )
+    return base + f""",
+sh AS (SELECT doc_id, CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) +
+  {" + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(1, 32))}
+  AS BIGINT) AS simhash FROM agg),
+bands AS ({bands})
+SELECT CAST(band AS INTEGER) AS band, CAST(key AS BIGINT) AS key,
+       CAST(COUNT(*) AS BIGINT) AS bucket_size
+FROM bands GROUP BY band, key HAVING COUNT(*) > {max_bucket}
+ORDER BY band, key
+"""
+
+
+SQL_SIMHASH_BUCKETS = _sql_simhash_buckets()
+
+
 # -------------------------------------------------------- 14. n-gram jaccard
 
 
@@ -526,6 +570,7 @@ OPS_QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
+    "simhash_buckets": q_simhash_buckets,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "embed_near_dups": q_embed_near_dups,
@@ -543,6 +588,7 @@ OPS_SQL = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "simhash_buckets": SQL_SIMHASH_BUCKETS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,

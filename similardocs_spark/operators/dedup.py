@@ -165,6 +165,7 @@ def deduplicate(
     near: bool = True,
     max_bucket: int = MAX_BUCKET,
     max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Doc-level dedup ACTION: returns the deduplicated docs table (all
     original columns), keeping min(doc_id) per exact-text group and — with
@@ -175,7 +176,13 @@ def deduplicate(
 
     This is the operator a training pipeline actually consumes (the pair
     list is diagnostics); output size is bounded by the input, never by
-    pair multiplicity."""
+    pair multiplicity.
+
+    `stats` (optional dict) is filled with observability counters:
+    iterations run, converged flag — so scale harnesses can record the
+    propagation depth without parsing logs."""
+    if stats is not None:
+        stats.update({"iterations": 0, "converged": True})
     reps = exact_representatives(docs, text_col)
     if not near:
         return reps
@@ -198,7 +205,9 @@ def deduplicate(
     )
     try:
         converged = False
+        n_iter = 0
         for _ in range(max_iter):
+            n_iter += 1
             nbr_min = (
                 edges.join(
                     labels.select(
@@ -232,6 +241,8 @@ def deduplicate(
             if changed == 0:
                 converged = True
                 break
+        if stats is not None:
+            stats.update({"iterations": n_iter, "converged": converged})
         if not converged:
             # no-silent-caps: a component with propagation distance > max_iter
             # keeps >1 representative — surface it (mirrors the

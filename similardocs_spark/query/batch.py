@@ -160,9 +160,25 @@ def _batch_bucket(
             )
             .select("query_id", "doc_id", "score")
         )
+    docs_fields = engine._docs.select(
+        "doc_id", "conv_id", "update_date", "rerank_tokens"
+    )
     wc = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-    # pool cut first with a pool-only broadcast (q_rerank arrays must not
-    # ride along: they'd be replicated onto every pre-cut candidate row)
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("n_common"), F.desc("update_date"), F.desc("score"), F.asc("doc_id")
+    )
+    # PRE-CUT plan: global pool cut before the rerank join, with a pool-only
+    # broadcast (q_rerank arrays must not ride along: they'd be replicated
+    # onto every pre-cut candidate row).
+    #
+    # Negative result, measured (round 4, PROFILE_FUSED_AB_8X2.json +
+    # PROFILE_4X4_FUSED.json): a FUSED variant that joined docs first and
+    # did pool-cut + rank in ONE query_id exchange (one fewer shuffle
+    # stage) LOSES at both 4x4 (11.3 s vs 8.0 s warm) and 8x2 (13.4 s vs
+    # 6.9 s best-of-3 interleaved): without the pre-cut, per-SEGMENT pools
+    # (n_segs× rows, 283 MB vs 65+1.5 MB here) ride through the rerank
+    # join and the exchange. The pool cut's data reduction is worth more
+    # than a stage — keep cuts as early as possible.
     qpool = F.broadcast(
         local_df(
             spark,
@@ -189,9 +205,6 @@ def _batch_bucket(
     # - cache=False (ad hoc): broadcast the candidates; the docs scan stays
     #   wherever the source partitions are.
     # q_rerank/min2/k attach AFTER the join, once per surviving row.
-    docs_fields = engine._docs.select(
-        "doc_id", "conv_id", "update_date", "rerank_tokens"
-    )
     if engine.cache:
         joined = cands.hint("shuffle_hash").join(docs_fields, "doc_id")
     else:
@@ -202,9 +215,6 @@ def _batch_bucket(
             "n_common", F.size(F.array_intersect("rerank_tokens", "q_rerank"))
         )
         .filter(F.col("n_common") >= F.col("min2"))
-    )
-    wf = Window.partitionBy("query_id").orderBy(
-        F.desc("n_common"), F.desc("update_date"), F.desc("score"), F.asc("doc_id")
     )
     return (
         enriched.withColumn("rank", F.row_number().over(wf))

@@ -54,6 +54,27 @@ def test_batch_matches_oracle(corpus, mode, use_wand):
 
 
 @pytest.mark.spark
+@pytest.mark.parametrize(
+    "mode",
+    [dict(), dict(split_time=True), dict(sources={"MEDLINE", "LILACS"})],
+)
+def test_batch_serving_mode_matches_oracle(spark, corpus, mode):
+    """Serving mode (cache=True): docs cached pre-partitioned on doc_id,
+    rerank join via shuffled-hash (docs-stationary). Must be row-identical
+    to the oracle (same results as the ad hoc broadcast-join path)."""
+    engine, oracle = corpus
+    serving = SearchEngine(spark, engine.paths, PINNED_TODAY, END_DAYS_AGO, cache=True)
+    try:
+        res = serving.search_batch(dict(REFERENCE_QUERIES), **mode)
+        for qname, text in REFERENCE_QUERIES.items():
+            exp = oracle.search(text, **mode)
+            assert_hits_equal(res[qname], exp, f"fused {qname} {mode}")
+    finally:
+        serving._docs.unpersist()
+        serving._postings.unpersist()
+
+
+@pytest.mark.spark
 def test_batch_mixed_filters(corpus):
     """Per-query filter overrides: every query's result equals a single
     search() with its own effective settings."""
