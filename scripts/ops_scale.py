@@ -165,8 +165,11 @@ def run_level(args) -> None:
     gen_sec = round(time.time() - t0, 1)
 
     results: dict[str, dict] = {}
+    only = set(args.ops.split(",")) if args.ops else None
 
     def measured(name: str, fn):
+        if only is not None and name not in only:
+            return
         pre = {s["stageId"] for s in stages_snapshot()}
         t = time.time()
         out = fn()
@@ -218,6 +221,24 @@ def run_level(args) -> None:
         lambda: {
             "n_oversized_buckets": dedup.simhash_oversized_buckets(
                 docs, max_hamming=3
+            ).count()
+        },
+    )
+    # 64-bit variant: 16-bit band keys instead of 8-bit — the fix for the
+    # 32-bit bucket saturation the run above surfaces at this corpus size
+    measured(
+        "simhash64_pairs",
+        lambda: {
+            "n_pairs": dedup.simhash_near_dup_pairs(
+                docs, max_hamming=3, bits=64
+            ).count()
+        },
+    )
+    measured(
+        "simhash64_oversized_audit",
+        lambda: {
+            "n_oversized_buckets": dedup.simhash_oversized_buckets(
+                docs, max_hamming=3, bits=64
             ).count()
         },
     )
@@ -290,6 +311,8 @@ def main() -> None:
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--convs", type=int, default=300_000)
     p.add_argument("--merge", nargs="*", default=None)
+    p.add_argument("--ops", default=None,
+                   help="comma-separated op names to run (default: all)")
     p.add_argument("--out", default="ops_scale.json")
     args = p.parse_args()
     if args.merge:

@@ -289,6 +289,40 @@ def simhash32(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return agg.select("doc_id", sh.cast("long").alias("simhash"))
 
 
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit simhash: same vote construction as simhash32 but over the
+    first 16 hex digits of the token md5 (two 32-bit halves combined with
+    shift/or — bit arithmetic, no ANSI-overflow-prone addition).
+
+    WHY 64 bits: measured at 309k docs (BENCH_OPS_SCALING.json round 4),
+    32-bit banding at max_hamming=3 gives 8-bit band keys — 256 distinct
+    values for 309k docs, so every bucket saturates toward the cap and the
+    banded candidate join shuffled ~17 GB. 64 bits at the same max_hamming
+    gives 16-bit keys (65k values) — the bucket population drops ~256× and
+    the pair join returns to bounded work. Different hash → different pair
+    sets than simhash32; pick ONE per pipeline."""
+    toks = docs.select(
+        "doc_id", F.explode(tokenize_udf(F.col(text_col))).alias("term")
+    )
+    hi = F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5("term"), 9, 8), 16, 10).cast("long")
+    toks = toks.withColumn("h", F.shiftleft(hi, 32).bitwiseOR(lo))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(64)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sh = F.lit(0).cast("long")
+    for j in range(64):
+        bit = F.when(
+            F.col(f"v{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+        sh = sh.bitwiseOR(bit)
+    return agg.select("doc_id", sh.alias("simhash"))
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame, probe_ids: list[int], threshold: float = 0.2,
     text_col: str = "text",
@@ -338,12 +372,15 @@ def ngram_jaccard_pairs(
 SIMHASH_BITS = 32
 
 
-def _simhash_bands(sh: DataFrame, max_hamming: int) -> DataFrame:
-    """(doc_id, band, key) rows: the 32 signature bits split into
+def _simhash_bands(sh: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, band, key) rows: the `bits` signature bits split into
     (max_hamming + 1) contiguous bands. Shared by the pair join and the
-    oversized-bucket audit so both see the exact same buckets."""
+    oversized-bucket audit so both see the exact same buckets.
+
+    For bits=64 the top band contains the sign bit; shiftright is
+    arithmetic, so the mask keeps exactly the band's bits either way."""
     nb = max_hamming + 1
-    bounds = [round(i * SIMHASH_BITS / nb) for i in range(nb + 1)]
+    bounds = [round(i * bits / nb) for i in range(nb + 1)]
     bands = []
     for b in range(nb):
         lo, hi = bounds[b], bounds[b + 1]
@@ -363,7 +400,7 @@ def _simhash_bands(sh: DataFrame, max_hamming: int) -> DataFrame:
 
 def simhash_oversized_buckets(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-    max_bucket: int = MAX_BUCKET,
+    max_bucket: int = MAX_BUCKET, bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Audit helper (no-silent-caps): the (band, key) buckets
     simhash_near_dup_pairs would DROP, with their sizes. Every dropped
@@ -371,7 +408,8 @@ def simhash_oversized_buckets(
     matching band lives in an oversized bucket are not emitted — so run
     this to quantify what the cap skipped (mirror of
     lsh_oversized_buckets for the MinHash operator)."""
-    bb = _simhash_bands(simhash32(docs, text_col), max_hamming)
+    sig = (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
+    bb = _simhash_bands(sig, max_hamming, bits)
     return (
         bb.groupBy("band", "key")
         .agg(F.count("*").alias("bucket_size"))
@@ -382,10 +420,11 @@ def simhash_oversized_buckets(
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     max_bucket: int = MAX_BUCKET, signatures: DataFrame | None = None,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: all (doc_a, doc_b, hamming) with
-    Hamming distance ≤ max_hamming between 32-bit simhashes — WITHOUT the
-    O(n²) self-join. The 32 bits are split into (max_hamming + 1) bands;
+    Hamming distance ≤ max_hamming between `bits`-bit simhashes — WITHOUT
+    the O(n²) self-join. The bits are split into (max_hamming + 1) bands;
     by pigeonhole, any pair within max_hamming differs in at most
     max_hamming bands and therefore MATCHES EXACTLY on at least one band —
     so banding has exact (not probabilistic) recall. Candidates join only
@@ -395,11 +434,20 @@ def simhash_near_dup_pairs(
     simhash_oversized_buckets exposes exactly the dropped buckets (same
     band split, same groupBy keys the cap uses).
 
+    `bits`: 32 (default, the DuckDB-oracle-pinned variant) or 64 — use 64
+    above ~10^5 docs: band-key cardinality is 2^(bits/(max_hamming+1)),
+    and 8-bit keys saturate every bucket at corpus scale (measured: ~17 GB
+    candidate shuffle at 309k docs with bits=32 vs bounded at bits=64 —
+    see simhash64's docstring and BENCH_OPS_SCALING.json).
+
     `signatures`: optional precomputed (doc_id, simhash) table — pipelines
     that materialize signatures once can reuse them across max_hamming
     settings instead of re-running the tokenize→vote lineage."""
-    sh = simhash32(docs, text_col) if signatures is None else signatures
-    all_bands = _simhash_bands(sh, max_hamming)
+    if signatures is not None:
+        sh = signatures
+    else:
+        sh = (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
+    all_bands = _simhash_bands(sh, max_hamming, bits)
     capped = (
         all_bands.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("band", "key"))

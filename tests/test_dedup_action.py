@@ -220,3 +220,77 @@ def test_simhash_pairs_banded_equals_bruteforce_sweep(spark):
         }
         assert got == brute, f"max_hamming={mh}"
         assert brute, f"fixture must contain pairs at max_hamming={mh}"
+
+
+@pytest.mark.spark
+def test_simhash64_banded_equals_bruteforce(spark):
+    """64-bit variant: banded ≡ brute force over random 64-bit signatures
+    with planted near pairs — exercises the sign bit (values ≥ 2^63 stored
+    as negative longs) and the 16-bit band masks — plus a text-lineage run
+    of simhash64 end to end."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators.dedup import (
+        simhash64,
+        simhash_near_dup_pairs,
+    )
+    from similardocs_spark.util import local_df
+
+    rng = random.Random(7)
+    sigs: list[tuple[int, int]] = []
+    doc_id = 0
+    for _ in range(30):
+        base = rng.getrandbits(64)
+        for v in (base, *(base ^ sum(1 << b for b in rng.sample(range(64), d))
+                          for d in (1, 3, 5))):
+            signed = v - (1 << 64) if v >= (1 << 63) else v
+            sigs.append((doc_id, signed))
+            doc_id += 1
+    sig_df = local_df(spark, sigs, "doc_id long, simhash long")
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    for mh in (1, 3):
+        got = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in simhash_near_dup_pairs(
+                None, max_hamming=mh, signatures=sig_df, bits=64
+            ).collect()
+        }
+        brute = {
+            (a, b, hamming(sa, sb))
+            for a, sa in sigs
+            for b, sb in sigs
+            if a < b and hamming(sa, sb) <= mh
+        }
+        assert got == brute and brute, f"bits=64 max_hamming={mh}"
+
+    # text lineage: simhash64 values feed the same banded join; verify the
+    # band join against a brute-force DataFrame xor on the same signatures
+    texts = [
+        "zika dengue fever outbreak tropical",
+        "zika dengue fever outbreak tropics",
+        "malaria treatment protocol hospital",
+    ] * 5
+    docs = spark.createDataFrame(
+        [(i, f"{t} tail{i % 4}") for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_near_dup_pairs(docs, max_hamming=6, bits=64).collect()
+    }
+    sh = simhash64(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    brute = {
+        (r["doc_a"], r["doc_b"], r["h"])
+        for r in a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("h", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long"))
+        .filter(F.col("h") <= 6)
+        .collect()
+    }
+    assert got == brute and brute
