@@ -177,6 +177,35 @@ def main() -> None:
             timings[f"{tag}_set"] = round(dt, 3)
             timings[f"{tag}_qps"] = round(len(SEARCH_QUERIES) / dt, 3)
 
+        # 2c. profile-updater sweep: 96 stale profiles materialized through
+        # the chunked batch dataflow (TopIndex preprocess equivalent —
+        # stale filter → search_batch → spill → one merge join + swap)
+        from pyspark.sql import functions as F
+
+        from similardocs_spark.profiles import ProfileStore
+
+        pstore = ProfileStore(spark, os.path.join(idx_root, "profiles"))
+        _prng = random.Random(11)
+        prof_seed = spark.createDataFrame(
+            [
+                (
+                    f"u{i}", f"user{i % 16}", f"p{i}",
+                    " ".join(_prng.sample(_pool, 5)), 10, 0, [], [],
+                )
+                for i in range(96)
+            ],
+            "id string, user string, prof_name string, prof_content string, "
+            "creation_time long, update_time long, sd_ids array<long>, "
+            "sd_scores array<float>",
+        )
+        prof_seed.coalesce(1).write.parquet(pstore.path)
+        t0 = time.time()
+        n_upd = pstore.update_stale(engine, now_ms=1000)
+        dt = time.time() - t0
+        assert n_upd == 96
+        timings["profile_update_set"] = round(dt, 3)
+        timings["profile_update_pps"] = round(n_upd / dt, 3)
+
     # 2c. realistic-vocabulary corpus (Zipf, 50k terms): per-query match sets
     # are Zipf-bounded instead of match-everything, like real text
     with tempfile.TemporaryDirectory() as zroot:
