@@ -71,39 +71,51 @@ def filter_terms(df: DataFrame, terms, col: str = "term") -> DataFrame:
 
 _KERNEL_CONF_LOCK = threading.RLock()
 _KERNEL_CONF_DEPTH = 0  # protected by the lock
-_KERNEL_CONF_SAVED = [None]  # value to restore when depth returns to 0
+_KERNEL_CONF_SAVED: dict[str, str | None] = {}  # restored when depth hits 0
+
+# Scoped execution confs for the scoring-kernel plans:
+# - adaptive.enabled=false: the batch/kernel plans are hand-partitioned
+#   (fixed 64, explicit join hints, segment-keyed skew bounds), so AQE's
+#   per-shuffle-stage driver re-plan round is pure latency here — measured
+#   interleaved A/B (PROFILE_AQE_AB_4X2.json): 8.15 -> 7.28 s best-of-3
+#   per 1152-query batch at local-cluster[4,2]; a wash at 1x2 where
+#   compute dominates. Skew splitting is not needed on this path: any
+#   term's postings are bounded per segment and kernel output is capped
+#   at pool rows per (segment, query).
+# - minPartitionSize=16k: kept for sessions where AQE is re-enabled inside
+#   the scope's lifetime — byte-based coalescing collapsed the CPU-bound
+#   kernel stage reading ~8 MB to 7 tasks on 32 cores (4.1 s for 22 s of
+#   executor CPU).
+_KERNEL_CONFS = {
+    "spark.sql.adaptive.enabled": "false",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
+}
 
 
 @contextmanager
 def kernel_exec_conf(spark: SparkSession):
     """Execution-conf scope for plans whose hot stage is a CPU-bound Python
-    kernel over a SMALL shuffle input (cogroup+applyInPandas scoring).
+    kernel over a SMALL shuffle input (cogroup+applyInPandas scoring) —
+    see _KERNEL_CONFS for the knobs and their measurements.
 
-    AQE's partition coalescing merges post-shuffle partitions by BYTE size
-    (minPartitionSize, default 1 MB); a kernel stage reading ~8 MB of
-    postings+stats collapses to ~8 tasks regardless of cores — measured 7
-    tasks / 4.1 s wall on 32 cores for a stage with 22 s of executor CPU.
-    Lowering minPartitionSize inside the scope keeps the configured task
-    count for compute-bound stages; AQE (incl. skew splitting) stays on.
-
-    The conf is session-global; concurrent scopes on the same session
-    (multi-threaded serving) all set the SAME value, so overlap is
+    The confs are session-global; concurrent scopes on the same session
+    (multi-threaded serving) all set the SAME values, so overlap is
     compatible — what must not interleave is the save/restore bookkeeping.
     A depth counter under a process-wide lock guards it: only the first
-    scope to enter saves the prior value, only the last to exit restores
-    it, and the lock is NOT held across the body (queries stay concurrent).
-    Residual caveat, by design: an unrelated query planned while any kernel
-    scope is open sees the 16k value — harmless for non-kernel plans (AQE
-    coalescing merely coalesces less)."""
+    scope to enter saves the prior values, only the last to exit restores
+    them, and the lock is NOT held across the body (queries stay
+    concurrent). Residual caveat, by design: an unrelated query planned
+    while any kernel scope is open sees these values — it loses AQE for
+    that plan, nothing incorrect."""
     global _KERNEL_CONF_DEPTH
-    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
     with _KERNEL_CONF_LOCK:
         if _KERNEL_CONF_DEPTH == 0:
-            try:
-                _KERNEL_CONF_SAVED[0] = spark.conf.get(key)
-            except Exception:
-                _KERNEL_CONF_SAVED[0] = None
-            spark.conf.set(key, "16k")
+            for key, val in _KERNEL_CONFS.items():
+                try:
+                    _KERNEL_CONF_SAVED[key] = spark.conf.get(key)
+                except Exception:
+                    _KERNEL_CONF_SAVED[key] = None
+                spark.conf.set(key, val)
         _KERNEL_CONF_DEPTH += 1
     try:
         yield
@@ -111,8 +123,9 @@ def kernel_exec_conf(spark: SparkSession):
         with _KERNEL_CONF_LOCK:
             _KERNEL_CONF_DEPTH -= 1
             if _KERNEL_CONF_DEPTH == 0:
-                old = _KERNEL_CONF_SAVED[0]
-                if old is None:
-                    spark.conf.unset(key)
-                else:
-                    spark.conf.set(key, old)
+                for key, old in _KERNEL_CONF_SAVED.items():
+                    if old is None:
+                        spark.conf.unset(key)
+                    else:
+                        spark.conf.set(key, old)
+                _KERNEL_CONF_SAVED.clear()
