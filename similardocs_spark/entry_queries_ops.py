@@ -161,6 +161,71 @@ SQL_SIMHASH_PAIRS = _sql_simhash(
 )
 
 
+# ------------------------------------------- 13d. 64-bit simhash pairs
+
+
+def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit banded Hamming-pair join (the ≥10^5-doc variant — 16-bit band
+    keys; see operators/dedup.simhash64). Same pigeonhole-exact recall
+    contract as the 32-bit pair, verified against a brute-force oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 500
+    )
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=64).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_simhash64_pairs(max_hamming: int = 3) -> str:
+    """Brute-force 64-bit oracle. The 64-bit value is built from the two
+    unsigned 32-bit md5-hex halves; Java-long (two's complement) semantics
+    are reproduced WITHOUT 64-bit shifts or HUGEINT: per-bit votes read
+    from the unsigned halves, and the signed value is
+    (hi_signed)*2^32 + lo, which spans exactly [-2^63, 2^63) with no
+    BIGINT overflow."""
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hi32 = " + ".join(f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8))
+    lo32 = " + ".join(f"{digit.format(p=p + 9)} * {16 ** (7 - p)}" for p in range(8))
+    votes = ", ".join(
+        [
+            f"SUM(CASE WHEN (lo >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+            for j in range(32)
+        ]
+        + [
+            f"SUM(CASE WHEN (hi >> {j - 32}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}"
+            for j in range(32, 64)
+        ]
+    )
+    bits_lo = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(32)
+    )
+    bits_hi = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << (j - 32)} ELSE 0 END)" for j in range(32, 64)
+    )
+    table = "(SELECT * FROM documents WHERE doc_id < 500)"
+    return f"""
+WITH {sqlgen.stopword_cte()}, {sqlgen.tokens_cte(table=table)},
+hashed AS (SELECT doc_id, md5(term) AS h FROM toks),
+hv AS (SELECT doc_id, CAST({hi32} AS BIGINT) AS hi, CAST({lo32} AS BIGINT) AS lo
+       FROM hashed),
+agg AS (SELECT doc_id, {votes} FROM hv GROUP BY doc_id),
+halves AS (SELECT doc_id, CAST({bits_hi} AS BIGINT) AS bhi,
+                  CAST({bits_lo} AS BIGINT) AS blo FROM agg),
+sh AS (SELECT doc_id,
+              (CASE WHEN bhi >= 2147483648 THEN bhi - 4294967296 ELSE bhi END)
+              * 4294967296 + blo AS simhash
+       FROM halves)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_SIMHASH64_PAIRS = _sql_simhash64_pairs()
+
+
 # ---------------------------------------------- 13c. simhash bucket audit
 
 
@@ -571,6 +636,7 @@ OPS_QUERIES = {
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "simhash_buckets": q_simhash_buckets,
+    "simhash64_pairs": q_simhash64_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
     "embed_near_dups": q_embed_near_dups,
@@ -589,6 +655,7 @@ OPS_SQL = {
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,
+    "simhash64_pairs": SQL_SIMHASH64_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
