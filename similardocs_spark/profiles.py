@@ -52,16 +52,29 @@ def profile_id(user: str, name: str) -> str:
 
 @dataclass
 class ProfileStore:
+    """Substrate-routed: on deployments with the Iceberg runtime the store
+    is a catalog table and every overwrite is a native snapshot commit
+    (createOrReplace — atomic, no staging dance); the parquet fallback
+    implements the same semantics with a staged directory swap plus crash
+    recovery. Selection mirrors index/catalog.get_io (SIMDOCS_SUBSTRATE
+    override honored)."""
+
     spark: SparkSession
     path: str
+
+    def __post_init__(self) -> None:
+        from .index.catalog import get_io
+
+        self._io = get_io(self.spark, self.path)
 
     def _read(self) -> DataFrame:
         from .index.build import small_df
 
-        self._recover()
-        if not os.path.exists(self.path):
+        if self._io.mode == "parquet":
+            self._recover()
+        if not self._io.exists(self.spark, self.path):
             return small_df(self.spark, [], SCHEMA)
-        return self.spark.read.parquet(self.path)
+        return self._io.read(self.spark, self.path)
 
     # ------------------------------------------------------ staged overwrite
 
@@ -72,16 +85,13 @@ class ProfileStore:
         return self.path + ".old"
 
     def _recover(self) -> None:
-        """Finish or roll back a swap interrupted by a crash: a COMMITTED
-        staging next to a missing live table is rolled forward; anything
-        else partial is discarded (the live table — possibly parked at
-        .old — is restored)."""
-        from .index.catalog import ParquetIO
-
-        io = ParquetIO()
+        """(parquet mode only) Finish or roll back a swap interrupted by a
+        crash: a COMMITTED staging next to a missing live table is rolled
+        forward; anything else partial is discarded (the live table —
+        possibly parked at .old — is restored)."""
         stage, old = self._stage(), self._old()
         if not os.path.exists(self.path):
-            if os.path.exists(stage) and io.committed(self.spark, stage):
+            if os.path.exists(stage) and self._io.committed(self.spark, stage):
                 os.rename(stage, self.path)  # roll forward
             elif os.path.exists(old):
                 os.rename(old, self.path)  # roll back
@@ -89,17 +99,23 @@ class ProfileStore:
         shutil.rmtree(old, ignore_errors=True)
 
     def _write_staged(self, df: DataFrame) -> None:
-        """Overwrite the store FROM A PLAN THAT READS IT: write to a staging
-        dir first (the source parquet is still live while the job runs),
-        then swap directories. On an Iceberg substrate this whole dance is a
-        single MERGE INTO / overwrite snapshot; the parquet fallback keeps
-        the same crash-repairable two-phase shape as index/incremental."""
-        from .index.catalog import ParquetIO
+        """Overwrite the store FROM A PLAN THAT READS IT.
 
-        io = ParquetIO()
+        Iceberg substrate: one native createOrReplace — the new snapshot's
+        data files are written while reads still resolve the previous
+        snapshot, and the metadata swap is atomic (this IS the two-phase
+        commit, done by the table format).
+
+        Parquet substrate: write to a staging dir first (the source parquet
+        stays live while the job runs), then swap directories — the same
+        crash-repairable two-phase shape as index/incremental, with
+        `_recover` rolling an interrupted swap forward or back."""
+        if self._io.mode != "parquet":
+            self._io.overwrite(df, self.path)
+            return
         stage, old = self._stage(), self._old()
         shutil.rmtree(stage, ignore_errors=True)
-        io.overwrite(df, stage)  # writes the commit marker
+        self._io.overwrite(df, stage)  # writes the commit marker
         if os.path.exists(self.path):
             os.rename(self.path, old)
         os.rename(stage, self.path)

@@ -76,6 +76,52 @@ def test_reset_and_update_all(spark, tmp_path):
     assert all(p["update_time"] == 200 for p in store.get_profiles("u"))
 
 
+class RecorderIO:
+    """Substrate fake: records which TableIO methods ProfileStore routes
+    writes through, so the Iceberg branch (native snapshot overwrite, no
+    staging-dir swap) is contract-tested without a runtime jar."""
+
+    def __init__(self, mode, backing):
+        self.mode, self.backing, self.calls = mode, backing, []
+
+    def read(self, spark, path):
+        self.calls.append(("read", path))
+        return spark.read.parquet(self.backing)
+
+    def exists(self, spark, path):
+        import os
+
+        return os.path.exists(self.backing)
+
+    def overwrite(self, df, path):
+        self.calls.append(("overwrite", path))
+        # emulate snapshot semantics on a side path, then swap for the fake
+        import shutil
+
+        df.write.mode("overwrite").parquet(self.backing + ".next")
+        shutil.rmtree(self.backing, ignore_errors=True)
+        shutil.move(self.backing + ".next", self.backing)
+
+
+@pytest.mark.spark
+def test_iceberg_substrate_routing(spark, tmp_path):
+    """mode='iceberg' routes every store rewrite through ONE io.overwrite
+    (native createOrReplace) — no .staging/.old directory dance, no
+    parquet crash-recovery path."""
+    store = ProfileStore(spark, str(tmp_path / "pice"))
+    fake = RecorderIO("iceberg", str(tmp_path / "backing"))
+    store._io = fake
+    store.add_profile("u", "a", "zika dengue", now_ms=10)
+    assert [c[0] for c in fake.calls if c[0] == "overwrite"] == ["overwrite"]
+    assert not (tmp_path / "pice.staging").exists()
+    assert not (tmp_path / "pice.old").exists()
+    fake.calls.clear()
+    eng = FakeEngine()
+    assert store.update_stale(eng, now_ms=100) == 1
+    assert [c[0] for c in fake.calls if c[0] == "overwrite"] == ["overwrite"]
+    assert store.get_profiles("u")[0]["update_time"] == 100
+
+
 class FakeBatchEngine:
     """Batch-capable fake: records chunk sizes; hits derived from content."""
 
