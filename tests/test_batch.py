@@ -75,6 +75,45 @@ def test_batch_serving_mode_matches_oracle(spark, corpus, mode):
 
 
 @pytest.mark.spark
+def test_batch_concurrent_threads_conf_restored(spark, corpus):
+    """Two threads run search_batch concurrently on one session: results
+    stay oracle-identical and the kernel-scope confs (AQE off, coalescing
+    floor) are restored exactly once after the LAST scope exits — the
+    depth-counter guard in util.kernel_exec_conf."""
+    import threading
+
+    engine, oracle = corpus
+    key = "spark.sql.adaptive.enabled"
+    before = spark.conf.get(key)
+    names = list(REFERENCE_QUERIES)
+    halves = (names[: len(names) // 2], names[len(names) // 2:])
+    out: dict[int, dict] = {}
+    errs: list = []
+
+    def run(i, qnames):
+        try:
+            out[i] = engine.search_batch(
+                {n: REFERENCE_QUERIES[n] for n in qnames}
+            )
+        except Exception as e:  # surfaced in the main thread
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=run, args=(i, h)) for i, h in enumerate(halves)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    for i, qnames in enumerate(halves):
+        for n in qnames:
+            assert_hits_equal(out[i][n], oracle.search(REFERENCE_QUERIES[n]),
+                              f"concurrent {n}")
+    assert spark.conf.get(key) == before
+
+
+@pytest.mark.spark
 def test_batch_mixed_filters(corpus):
     """Per-query filter overrides: every query's result equals a single
     search() with its own effective settings."""

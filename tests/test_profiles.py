@@ -76,6 +76,41 @@ def test_reset_and_update_all(spark, tmp_path):
     assert all(p["update_time"] == 200 for p in store.get_profiles("u"))
 
 
+@pytest.mark.spark
+def test_staged_swap_crash_recovery(spark, tmp_path):
+    """Parquet-mode crash windows: (a) killed between parking the live dir
+    at .old and promoting a COMMITTED staging → next read rolls the staging
+    forward; (b) killed after parking but with a PARTIAL staging → next
+    read rolls the .old table back; stray dirs are cleaned either way."""
+    import os
+    import shutil
+
+    from similardocs_spark.index.catalog import COMMIT_MARKER
+
+    store = ProfileStore(spark, str(tmp_path / "pr"))
+    store.add_profile("u", "a", "zika", now_ms=10)
+    store.add_profile("u", "b", "dengue", now_ms=10)
+
+    # (a) roll FORWARD: live dir gone, committed staging present
+    shutil.copytree(store.path, store._stage())
+    shutil.rmtree(store.path)
+    profs = store.get_profiles("u")  # _recover runs inside _read
+    assert [p["prof_name"] for p in profs] == ["a", "b"]
+    assert os.path.exists(store.path) and not os.path.exists(store._stage())
+
+    # (b) roll BACK: live dir parked at .old, staging uncommitted
+    shutil.copytree(store.path, store._stage())
+    for m in ("_SUCCESS", COMMIT_MARKER):
+        p = os.path.join(store._stage(), m)
+        if os.path.exists(p):
+            os.remove(p)
+    os.rename(store.path, store._old())
+    profs = store.get_profiles("u")
+    assert [p["prof_name"] for p in profs] == ["a", "b"]
+    assert os.path.exists(store.path)
+    assert not os.path.exists(store._stage()) and not os.path.exists(store._old())
+
+
 class RecorderIO:
     """Substrate fake: records which TableIO methods ProfileStore routes
     writes through, so the Iceberg branch (native snapshot overwrite, no
