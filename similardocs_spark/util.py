@@ -74,29 +74,37 @@ _KERNEL_CONF_DEPTH = 0  # protected by the lock
 _KERNEL_CONF_SAVED: dict[str, str | None] = {}  # restored when depth hits 0
 
 # Scoped execution confs for the scoring-kernel plans:
-# - adaptive.enabled=false: the batch/kernel plans are hand-partitioned
-#   (fixed 64, explicit join hints, segment-keyed skew bounds), so AQE's
-#   per-shuffle-stage driver re-plan round is pure latency here — measured
-#   interleaved A/B (PROFILE_AQE_AB_4X2.json): 8.15 -> 7.28 s best-of-3
-#   per 1152-query batch at local-cluster[4,2]; a wash at 1x2 where
-#   compute dominates. Skew splitting is not needed on this path: any
-#   term's postings are bounded per segment and kernel output is capped
-#   at pool rows per (segment, query).
-# - minPartitionSize=16k: kept for sessions where AQE is re-enabled inside
-#   the scope's lifetime — byte-based coalescing collapsed the CPU-bound
+# - adaptive.enabled=false ON MULTI-EXECUTOR DEPLOYMENTS ONLY: the
+#   batch/kernel plans are hand-partitioned (fixed partitions, explicit
+#   join hints, segment-keyed skew bounds), so AQE's per-shuffle-stage
+#   driver re-plan round is pure latency when each round is a
+#   cross-process RTT — measured interleaved A/B at local-cluster[4,2]:
+#   8.15 -> 7.28 s best-of-3 per 1152-query batch
+#   (PROFILE_AQE_AB_4X2.json), and +82% batch throughput at 8x4 in the
+#   scaling campaign. In a single-JVM local[N] session the re-plan is an
+#   in-process call and AQE's empty/tiny-partition coalescing WINS for
+#   the many micro-stages of the single-query path (interleaved A/B at
+#   local[32], sf0.1: 9 WAND queries 8.6 s with AQE vs 10.8 s without;
+#   batch a wash) — so local[N] keeps AQE. Skew splitting is not needed
+#   on this path either way: postings are bounded per segment and kernel
+#   output is capped at pool rows per (segment, query).
+# - minPartitionSize=16k: byte-based coalescing collapsed the CPU-bound
 #   kernel stage reading ~8 MB to 7 tasks on 32 cores (4.1 s for 22 s of
-#   executor CPU).
-_KERNEL_CONFS = {
-    "spark.sql.adaptive.enabled": "false",
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k",
-}
+#   executor CPU); applied whenever AQE is active in the scope.
+def _kernel_confs(spark: SparkSession) -> dict[str, str]:
+    confs = {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k"}
+    master = spark.sparkContext.master or ""
+    if not master.startswith("local["):  # executors in separate JVMs
+        confs["spark.sql.adaptive.enabled"] = "false"
+    return confs
 
 
 @contextmanager
 def kernel_exec_conf(spark: SparkSession):
     """Execution-conf scope for plans whose hot stage is a CPU-bound Python
     kernel over a SMALL shuffle input (cogroup+applyInPandas scoring) —
-    see _KERNEL_CONFS for the knobs and their measurements.
+    see _kernel_confs for the knobs, the deployment-shape gate, and their
+    measurements.
 
     The confs are session-global; concurrent scopes on the same session
     (multi-threaded serving) all set the SAME values, so overlap is
@@ -110,7 +118,7 @@ def kernel_exec_conf(spark: SparkSession):
     global _KERNEL_CONF_DEPTH
     with _KERNEL_CONF_LOCK:
         if _KERNEL_CONF_DEPTH == 0:
-            for key, val in _KERNEL_CONFS.items():
+            for key, val in _kernel_confs(spark).items():
                 try:
                     _KERNEL_CONF_SAVED[key] = spark.conf.get(key)
                 except Exception:
