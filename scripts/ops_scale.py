@@ -211,7 +211,7 @@ def run_level(args) -> None:
     measured("deduplicate", run_dedup)
 
     def run_simhash():
-        pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+        pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=32)
         n = pairs.count()
         return {"n_pairs": n}
 
@@ -220,7 +220,7 @@ def run_level(args) -> None:
         "simhash_oversized_audit",
         lambda: {
             "n_oversized_buckets": dedup.simhash_oversized_buckets(
-                docs, max_hamming=3
+                docs, max_hamming=3, bits=32
             ).count()
         },
     )

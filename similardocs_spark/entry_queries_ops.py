@@ -151,7 +151,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
-    return dedup.simhash_near_dup_pairs(docs, max_hamming=3).orderBy(
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=32).orderBy(
         "doc_a", "doc_b"
     )
 
@@ -241,7 +241,7 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 500
     )
     return dedup.simhash_oversized_buckets(
-        docs, max_hamming=3, max_bucket=SIMHASH_AUDIT_MAX_BUCKET
+        docs, max_hamming=3, max_bucket=SIMHASH_AUDIT_MAX_BUCKET, bits=32
     ).orderBy("band", "key")
 
 

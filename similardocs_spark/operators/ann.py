@@ -70,11 +70,19 @@ def _lsh_bucket_udf(planes: np.ndarray):
 
     @pandas_udf("long")
     def bucket(vecs: pd.Series) -> pd.Series:
-        if len(vecs) == 0:
-            return pd.Series([], dtype="int64")
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        proj = M @ P  # (batch, bits)
-        return pd.Series((proj > 0) @ weights, index=vecs.index)
+        # null embeddings → null bucket (the JVM literal path's aggregate
+        # over a null array yields null; the UDF path must match rather
+        # than crash np.stack on a None row)
+        out = pd.Series([None] * len(vecs), index=vecs.index, dtype="object")
+        valid = [i for i, v in enumerate(vecs) if v is not None]
+        if valid:
+            M = np.stack(
+                [np.asarray(vecs.iloc[i], dtype=np.float64) for i in valid]
+            )
+            proj = M @ P  # (batch, bits)
+            buckets = (proj > 0) @ weights
+            out.iloc[valid] = [int(b) for b in buckets]
+        return out
 
     return bucket
 
@@ -87,7 +95,11 @@ def lsh_bucket_col(vec_col, planes: np.ndarray, use_udf: bool | None = None):
     vectorized pandas UDF doing a per-Arrow-batch matrix multiply — plan
     node count stays flat in dim. Both paths compute sign(planes · v) in
     float64; all vectors in one invocation use the same path, so bucket
-    assignments are self-consistent."""
+    assignments are self-consistent.
+
+    Null embeddings bucket to NULL on both paths (they then drop out of
+    bucket joins/filters) — a corpus with missing vectors must neither
+    crash the UDF batch nor silently pile nulls into bucket 0."""
     if use_udf is None:
         use_udf = planes.shape[1] > LSH_UDF_DIM_THRESHOLD
     if use_udf:
@@ -96,7 +108,7 @@ def lsh_bucket_col(vec_col, planes: np.ndarray, use_udf: bool | None = None):
     for j, plane in enumerate(planes):
         proj = _dot(vec_col, F.array(*[F.lit(float(x)) for x in plane]))
         bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    return F.when(vec_col.isNotNull(), bucket)
 
 
 def embedding_near_dup_pairs_exact(

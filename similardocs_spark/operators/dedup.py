@@ -24,6 +24,12 @@ from ..functions.tokenize import tokenize as tokenize_udf
 
 N_HASHES = 12
 N_BANDS = 2  # 6 rows per band (strict buckets)
+# Recall at the banding defaults, measured on the 309k-doc seeded corpus
+# (1 token per 40 edited → shingle Jaccard s ≈ 0.86): candidate recall is
+# 1-(1-s^r)^b with r = n_hashes/n_bands rows per band. The round-4 default
+# (12/2, r=6) measured 70% planted-pair recall — see the round-5 band sweep
+# in BENCH_OPS_SCALING.json for the recall/shuffle trade-off per config;
+# (n_hashes, n_bands) are arguments on every banding entry point.
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -41,7 +47,10 @@ def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _minhash_cols(n: int = N_HASHES):
-    """minhash_i = min over tokens of md5(i || '|' || token) (hex string min)."""
+    """minhash_i = min over tokens of md5(i || '|' || token) (hex string min).
+    The seed-i hash family is shared by every (n_hashes, n_bands) config:
+    widening n only APPENDS hash columns, so signatures are
+    forward-comparable across configs."""
     return [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("term")))).alias(f"mh{i}")
         for i in range(n)
@@ -65,11 +74,13 @@ def shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
     """Signatures over 3-token shingles (distinctive; single tokens collide
     too often after prefix-6 truncation)."""
     sh = shingles(docs, text_col).withColumnRenamed("shingle", "term")
-    return sh.groupBy("doc_id").agg(*_minhash_cols())
+    return sh.groupBy("doc_id").agg(*_minhash_cols(n_hashes))
 
 
 MAX_BUCKET = 2000  # LSH bucket-size ceiling (pair join is O(|bucket|²))
@@ -83,11 +94,15 @@ def exact_representatives(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return wh.join(keep, ["_th", "doc_id"]).drop("_th")
 
 
-def _band_buckets(sig: DataFrame) -> DataFrame:
+def _band_buckets(
+    sig: DataFrame, n_hashes: int = N_HASHES, n_bands: int = N_BANDS
+) -> DataFrame:
     """(doc_id, band, key) rows — one per signature band."""
-    rows_per_band = N_HASHES // N_BANDS
+    if n_hashes % n_bands:
+        raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
+    rows_per_band = n_hashes // n_bands
     bands = []
-    for b in range(N_BANDS):
+    for b in range(n_bands):
         cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
         bands.append(
             sig.select(
@@ -101,11 +116,15 @@ def _band_buckets(sig: DataFrame) -> DataFrame:
 
 
 def lsh_oversized_buckets(
-    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET
+    docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET,
+    n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Audit helper (no-silent-caps): the band buckets minhash_lsh_pairs
     would DROP, with their sizes — run it to quantify what the cap skipped."""
-    bb = _band_buckets(minhash_signatures(exact_representatives(docs, text_col), text_col))
+    bb = _band_buckets(
+        minhash_signatures(exact_representatives(docs, text_col), text_col, n_hashes),
+        n_hashes, n_bands,
+    )
     return (
         bb.groupBy("band", "key")
         .agg(F.count("*").alias("bucket_size"))
@@ -116,6 +135,7 @@ def lsh_oversized_buckets(
 def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET,
     collapsed: bool = False,
+    n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     Band key = concat of the band's minhashes; pairs joined only within
@@ -133,9 +153,18 @@ def minhash_lsh_pairs(
       stage). Dropped buckets are observable via lsh_oversized_buckets() —
       never capped silently. The cap check is a window count over the SAME
       (band, key) shuffle the pair join needs, so the signature lineage
-      (tokenize → shingle → minhash) runs exactly once."""
+      (tokenize → shingle → minhash) runs exactly once.
+
+    Recall dial: candidate recall ≈ 1-(1-s^r)^b at shingle Jaccard s with
+    r = n_hashes/n_bands rows per band and b = n_bands. More bands → higher
+    recall AND b× more bucket rows (shuffle); fewer rows per band → looser
+    buckets (more false candidates — this operator does not verify). See
+    the measured sweep in BENCH_OPS_SCALING.json (round 5) before changing
+    the dial for a corpus."""
     reps = docs if collapsed else exact_representatives(docs, text_col)
-    all_bands = _band_buckets(minhash_signatures(reps, text_col))
+    all_bands = _band_buckets(
+        minhash_signatures(reps, text_col, n_hashes), n_hashes, n_bands
+    )
     capped = (
         all_bands.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
@@ -166,6 +195,8 @@ def deduplicate(
     max_bucket: int = MAX_BUCKET,
     max_iter: int = 20,
     stats: dict | None = None,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
 ) -> DataFrame:
     """Doc-level dedup ACTION: returns the deduplicated docs table (all
     original columns), keeping min(doc_id) per exact-text group and — with
@@ -186,7 +217,10 @@ def deduplicate(
     reps = exact_representatives(docs, text_col)
     if not near:
         return reps
-    pairs = minhash_lsh_pairs(reps, text_col, max_bucket=max_bucket, collapsed=True)
+    pairs = minhash_lsh_pairs(
+        reps, text_col, max_bucket=max_bucket, collapsed=True,
+        n_hashes=n_hashes, n_bands=n_bands,
+    )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (
         edges.unionByName(
@@ -370,6 +404,31 @@ def ngram_jaccard_pairs(
 
 
 SIMHASH_BITS = 32
+# Above this corpus size a defaulted bits=None auto-selects 64-bit
+# signatures: at max_hamming=3 the 32-bit split gives 8-bit band keys (256
+# values), so every bucket saturates — measured ~17 GB candidate shuffle and
+# 7 capped buckets at 309k docs (BENCH_OPS_SCALING.json round 4) vs 254 MB
+# and 0 capped at 64 bits.
+SIMHASH_AUTO64_MIN_DOCS = 100_000
+
+
+def _resolve_simhash_bits(docs: DataFrame, bits: int | None) -> int:
+    """Explicit bits win; a defaulted bits=None picks 32 for small inputs
+    (the DuckDB-oracle-pinned variant) and 64 at corpus scale, paying one
+    count job — callers that know their scale pass bits explicitly."""
+    if bits is not None:
+        return bits
+    n = docs.count()
+    if n >= SIMHASH_AUTO64_MIN_DOCS:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "simhash: auto-selecting 64-bit signatures for %d docs "
+            "(32-bit band keys saturate above ~%d docs; pass bits=32 to force)",
+            n, SIMHASH_AUTO64_MIN_DOCS,
+        )
+        return 64
+    return SIMHASH_BITS
 
 
 def _simhash_bands(sh: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -400,7 +459,7 @@ def _simhash_bands(sh: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS) ->
 
 def simhash_oversized_buckets(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
-    max_bucket: int = MAX_BUCKET, bits: int = SIMHASH_BITS,
+    max_bucket: int = MAX_BUCKET, bits: int | None = None,
 ) -> DataFrame:
     """Audit helper (no-silent-caps): the (band, key) buckets
     simhash_near_dup_pairs would DROP, with their sizes. Every dropped
@@ -408,6 +467,7 @@ def simhash_oversized_buckets(
     matching band lives in an oversized bucket are not emitted — so run
     this to quantify what the cap skipped (mirror of
     lsh_oversized_buckets for the MinHash operator)."""
+    bits = _resolve_simhash_bits(docs, bits)
     sig = (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
     bb = _simhash_bands(sig, max_hamming, bits)
     return (
@@ -420,7 +480,7 @@ def simhash_oversized_buckets(
 def simhash_near_dup_pairs(
     docs: DataFrame, max_hamming: int = 3, text_col: str = "text",
     max_bucket: int = MAX_BUCKET, signatures: DataFrame | None = None,
-    bits: int = SIMHASH_BITS,
+    bits: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: all (doc_a, doc_b, hamming) with
     Hamming distance ≤ max_hamming between `bits`-bit simhashes — WITHOUT
@@ -434,18 +494,29 @@ def simhash_near_dup_pairs(
     simhash_oversized_buckets exposes exactly the dropped buckets (same
     band split, same groupBy keys the cap uses).
 
-    `bits`: 32 (default, the DuckDB-oracle-pinned variant) or 64 — use 64
-    above ~10^5 docs: band-key cardinality is 2^(bits/(max_hamming+1)),
-    and 8-bit keys saturate every bucket at corpus scale (measured: ~17 GB
-    candidate shuffle at 309k docs with bits=32 vs bounded at bits=64 —
-    see simhash64's docstring and BENCH_OPS_SCALING.json).
+    `bits`: 32 (the DuckDB-oracle-pinned variant) or 64 — use 64 above
+    ~10^5 docs: band-key cardinality is 2^(bits/(max_hamming+1)), and 8-bit
+    keys saturate every bucket at corpus scale (measured: ~17 GB candidate
+    shuffle at 309k docs with bits=32 vs bounded at bits=64 — see
+    simhash64's docstring and BENCH_OPS_SCALING.json). When DEFAULTED
+    (bits=None) the variant is auto-selected from a corpus count, so a
+    caller who never read this paragraph still gets the non-saturating
+    signature at exactly the scale where it matters.
 
     `signatures`: optional precomputed (doc_id, simhash) table — pipelines
     that materialize signatures once can reuse them across max_hamming
-    settings instead of re-running the tokenize→vote lineage."""
+    settings instead of re-running the tokenize→vote lineage. Requires an
+    explicit `bits` matching the signature width (the band split depends
+    on it)."""
     if signatures is not None:
+        if bits is None:
+            raise ValueError(
+                "precomputed signatures require explicit bits= (band split "
+                "depends on the signature width)"
+            )
         sh = signatures
     else:
+        bits = _resolve_simhash_bits(docs, bits)
         sh = (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
     all_bands = _simhash_bands(sh, max_hamming, bits)
     capped = (

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,12 @@ class ProfileStore:
         from .index.catalog import get_io
 
         self._io = get_io(self.spark, self.path)
+        # serializes _recover/_write_staged within this process (background
+        # updater thread vs serving reads — the reference's deployment
+        # shape). Multi-PROCESS writers additionally need external
+        # coordination (or the Iceberg substrate, whose commits are atomic);
+        # the reference runs a single updater service per store.
+        self._swap_lock = threading.RLock()
 
     def _read(self) -> DataFrame:
         from .index.build import small_df
@@ -88,38 +95,70 @@ class ProfileStore:
         """(parquet mode only) Finish or roll back a swap interrupted by a
         crash: a COMMITTED staging next to a missing live table is rolled
         forward; anything else partial is discarded (the live table —
-        possibly parked at .old — is restored)."""
+        possibly parked at .old — is restored).
+
+        Repair acts ONLY when the live table is actually missing. An
+        unconditional cleanup here would let a reader concurrent with an
+        in-flight _write_staged delete the writer's staging dir mid-write
+        (round-4 review); stray .staging/.old dirs from a crash that left
+        the live table intact are instead cleared by the NEXT _write_staged
+        before it stages. In-process, the swap lock serializes repair
+        against writes; the transient path-missing window inside a write is
+        additionally tolerated by _write_staged's promote check below."""
+        if os.path.exists(self.path):
+            return  # live table intact — nothing to repair, touch nothing
         stage, old = self._stage(), self._old()
-        if not os.path.exists(self.path):
+        # lock-free fast path above: readers only contend here when the live
+        # table is missing — either a real crash (repair below) or the
+        # in-flight writer's two-rename swap window (they block until the
+        # writer releases, then re-check and no-op)
+        with self._swap_lock:
+            if os.path.exists(self.path):
+                return
             if os.path.exists(stage) and self._io.committed(self.spark, stage):
                 os.rename(stage, self.path)  # roll forward
             elif os.path.exists(old):
                 os.rename(old, self.path)  # roll back
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(old, ignore_errors=True)
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
 
     def _write_staged(self, df: DataFrame) -> None:
         """Overwrite the store FROM A PLAN THAT READS IT.
 
-        Iceberg substrate: one native createOrReplace — the new snapshot's
-        data files are written while reads still resolve the previous
-        snapshot, and the metadata swap is atomic (this IS the two-phase
-        commit, done by the table format).
+        Iceberg substrate: one native createOrReplace — but a self-referential
+        replace-table-as-select (plan reads the table it replaces) is not
+        guaranteed to be accepted, so the derived rows are materialized
+        (localCheckpoint) first, cutting the lineage back to the source
+        table before the atomic snapshot swap. A real deployment can instead
+        route CRUD through MERGE INTO / DELETE; unverifiable in this sandbox
+        (no runtime jar), kept conservative.
 
         Parquet substrate: write to a staging dir first (the source parquet
         stays live while the job runs), then swap directories — the same
         crash-repairable two-phase shape as index/incremental, with
         `_recover` rolling an interrupted swap forward or back."""
         if self._io.mode != "parquet":
-            self._io.overwrite(df, self.path)
+            self._io.overwrite(df.localCheckpoint(eager=True), self.path)
             return
         stage, old = self._stage(), self._old()
-        shutil.rmtree(stage, ignore_errors=True)
-        self._io.overwrite(df, stage)  # writes the commit marker
-        if os.path.exists(self.path):
-            os.rename(self.path, old)
-        os.rename(stage, self.path)
-        shutil.rmtree(old, ignore_errors=True)
+        with self._swap_lock:
+            # clear leftovers from any earlier crash BEFORE staging (readers
+            # no longer clean these; see _recover) — also guarantees the
+            # os.rename(self.path, old) below has a clear target
+            shutil.rmtree(stage, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            self._io.overwrite(df, stage)  # writes the commit marker
+            if os.path.exists(self.path):
+                os.rename(self.path, old)
+            try:
+                os.rename(stage, self.path)
+            except OSError:
+                # a concurrent _recover (other process) caught the
+                # path-missing window and promoted the committed stage
+                # itself — converged to the same result
+                if not (os.path.exists(self.path) and not os.path.exists(stage)):
+                    raise
+            shutil.rmtree(old, ignore_errors=True)
 
     def _merge_rows(self, changed: list[dict]) -> None:
         """Upsert a bounded set of fully-specified rows: anti-join the live
@@ -154,6 +193,59 @@ class ProfileStore:
                 creation_time=creation, update_time=0, sd_ids=[], sd_scores=[],
             )
         ])
+
+    def upsert_profiles(
+        self, entries: list[tuple[str, str, str]], now_ms: int
+    ) -> int:
+        """Bulk upsert of (user, name, content) entries with ONE staged write
+        (round-4 review: the per-profile add_profile loop was N full-table
+        writes for an N-profile import). Same per-row semantics as
+        add_profile — unchanged content keeps the live row untouched, changed
+        content resets update_time to 0 preserving creation_time, new ids get
+        creation_time=now_ms — expressed as one full-outer broadcast join
+        between the live table and an Arrow LocalRelation of the entries; no
+        driver-side read of the live table at all. Later duplicate ids within
+        `entries` win (dict-last semantics, matching sequential add_profile
+        calls). Returns the number of entries applied (deduplicated)."""
+        from .util import local_df
+
+        by_id: dict[str, tuple[str, str, str]] = {}
+        for user, name, content in entries:
+            by_id[profile_id(user, name)] = (user, name, content)
+        if not by_id:
+            return 0
+        imp = local_df(
+            self.spark,
+            [(pid, u, n, c) for pid, (u, n, c) in sorted(by_id.items())],
+            "id string, _i_user string, _i_name string, _i_content string",
+        )
+        live = self._read()
+        merged = live.join(F.broadcast(imp), "id", "full_outer")
+        fresh = F.col("_i_content").isNotNull() & (
+            F.col("prof_content").isNull()
+            | (F.col("prof_content") != F.col("_i_content"))
+        )
+        empty_ids = F.array().cast("array<long>")
+        empty_scores = F.array().cast("array<float>")
+        self._write_staged(
+            merged.select(
+                "id",
+                F.coalesce("user", "_i_user").alias("user"),
+                F.coalesce("prof_name", "_i_name").alias("prof_name"),
+                F.when(fresh, F.col("_i_content"))
+                .otherwise(F.col("prof_content"))
+                .alias("prof_content"),
+                F.coalesce("creation_time", F.lit(now_ms)).alias("creation_time"),
+                F.when(fresh, F.lit(0).cast("long"))
+                .otherwise(F.col("update_time"))
+                .alias("update_time"),
+                F.when(fresh, empty_ids).otherwise(F.col("sd_ids")).alias("sd_ids"),
+                F.when(fresh, empty_scores)
+                .otherwise(F.col("sd_scores"))
+                .alias("sd_scores"),
+            )
+        )
+        return len(by_id)
 
     def delete_profile(self, user: str, name: str) -> None:
         pid = profile_id(user, name)
@@ -302,23 +394,27 @@ class ProfileStore:
             r["id"]: r.asDict()
             for r in self._read().filter(F.col("id").isin(pids)).collect()
         }
-        id_lists: list[list[int]] = []
+        # refresh ALL stale requested profiles in one batch call (one grouped
+        # plan instead of a serial engine.search per profile) when the engine
+        # supports it; _search_chunk falls back to serial search otherwise
+        stale = [
+            (pid, table[pid]["prof_content"])
+            for pid in pids
+            if pid in table and table[pid]["update_time"] == 0
+        ]
         dirty_rows: list[dict] = []
-        for pid in pids:
-            row = table.get(pid)
-            if row is None:
-                continue
-            if row["update_time"] == 0:
-                hits = engine.search(
-                    row["prof_content"], max_docs=DEFAULT_MAX_DOCS,
-                    min_ngrams=DEFAULT_MIN_NGRAMS, split_time=True,
-                )
-                row["sd_ids"] = [int(h.doc_id) for h in hits]
-                row["sd_scores"] = [float(h.score) for h in hits]
-                row["update_time"] = now_ms or 1
+        if stale:
+            for pid, ids, scores, t in self._search_chunk(
+                engine, stale, now_ms or 1
+            ):
+                row = table[pid]
+                row["sd_ids"], row["sd_scores"], row["update_time"] = ids, scores, t
                 dirty_rows.append(row)
-            if row["sd_ids"]:
-                id_lists.append(list(row["sd_ids"]))
+        id_lists = [
+            list(table[pid]["sd_ids"])
+            for pid in pids
+            if pid in table and table[pid]["sd_ids"]
+        ]
         if dirty_rows:
             self._merge_rows(dirty_rows)
 
@@ -340,21 +436,23 @@ class ProfileStore:
 
 def import_json_profiles(store: "ProfileStore", path: str, now_ms: int) -> int:
     """JSON profile import (reference others/UpdateProfiles.scala:69-123:
-    {id: {field: [values]}} → upsert). Spark-native: spark.read.json +
-    per-row upsert through the same MERGE semantics."""
+    {id: {field: [values]}} → upsert). One bulk upsert — ONE staged write
+    for the whole file, not one per profile (round-4 review)."""
     import json
 
     with open(path, encoding="utf-8") as f:
         data = json.load(f)
-    n = 0
+    entries = []
     for pid, fields in sorted(data.items()):
         user = fields.get("user", [pid])[0]
         name = fields.get("prof_name", [pid])[0]
         content = " ".join(fields.get("prof_content", []))
         if content:
-            store.add_profile(user, name, content, now_ms)
-            n += 1
-    return n
+            entries.append((user, name, content))
+    if not entries:
+        return 0
+    store.upsert_profiles(entries, now_ms)
+    return len(entries)
 
 
 def limit_docs(doc_lists: list[list[int]], max_docs: int) -> list[int]:

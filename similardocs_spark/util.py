@@ -2,6 +2,7 @@
 from __future__ import annotations
 
 import threading
+import weakref
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,8 +71,13 @@ def filter_terms(df: DataFrame, terms, col: str = "term") -> DataFrame:
 
 
 _KERNEL_CONF_LOCK = threading.RLock()
-_KERNEL_CONF_DEPTH = 0  # protected by the lock
-_KERNEL_CONF_SAVED: dict[str, str | None] = {}  # restored when depth hits 0
+# Per-SparkSession scope state (depth counter + saved confs), keyed weakly so
+# a discarded session (spark.newSession() churn) doesn't pin its entry: two
+# sessions in one process (e.g. a test harness session next to a serving
+# session) must save/set/restore THEIR OWN conf values independently — a
+# process-global depth counter would skip setting the kernel confs on the
+# second session entirely while the first holds a scope open.
+_KERNEL_CONF_STATE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 # Scoped execution confs for the scoring-kernel plans:
 # - adaptive.enabled=false ON MULTI-EXECUTOR DEPLOYMENTS ONLY: the
@@ -94,7 +100,11 @@ _KERNEL_CONF_SAVED: dict[str, str | None] = {}  # restored when depth hits 0
 def _kernel_confs(spark: SparkSession) -> dict[str, str]:
     confs = {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k"}
     master = spark.sparkContext.master or ""
-    if not master.startswith("local["):  # executors in separate JVMs
+    # single-JVM masters are `local` or `local[N]`/`local[*]`;
+    # `local-cluster[...]` and real cluster managers run executors in
+    # separate JVMs (a bare `local` must NOT match the bracket prefix test)
+    single_jvm = master == "local" or master.startswith("local[")
+    if not single_jvm:  # executors in separate JVMs
         confs["spark.sql.adaptive.enabled"] = "false"
     return confs
 
@@ -109,31 +119,37 @@ def kernel_exec_conf(spark: SparkSession):
     The confs are session-global; concurrent scopes on the same session
     (multi-threaded serving) all set the SAME values, so overlap is
     compatible — what must not interleave is the save/restore bookkeeping.
-    A depth counter under a process-wide lock guards it: only the first
-    scope to enter saves the prior values, only the last to exit restores
-    them, and the lock is NOT held across the body (queries stay
-    concurrent). Residual caveat, by design: an unrelated query planned
-    while any kernel scope is open sees these values — it loses AQE for
-    that plan, nothing incorrect."""
-    global _KERNEL_CONF_DEPTH
+    A PER-SESSION depth counter under a process-wide lock guards it: only
+    the first scope to enter on a given session saves that session's prior
+    values, only the last to exit restores them, and the lock is NOT held
+    across the body (queries stay concurrent). State is keyed by the
+    SparkSession (weakly) because RuntimeConfig is session-scoped — a
+    second session's scopes must set/restore its own confs regardless of
+    scopes open elsewhere. Residual caveat, by design: an unrelated query
+    planned ON THE SAME SESSION while a kernel scope is open sees these
+    values — it loses AQE for that plan, nothing incorrect."""
     with _KERNEL_CONF_LOCK:
-        if _KERNEL_CONF_DEPTH == 0:
+        state = _KERNEL_CONF_STATE.get(spark)
+        if state is None:
+            state = {"depth": 0, "saved": {}}
+            _KERNEL_CONF_STATE[spark] = state
+        if state["depth"] == 0:
             for key, val in _kernel_confs(spark).items():
                 try:
-                    _KERNEL_CONF_SAVED[key] = spark.conf.get(key)
+                    state["saved"][key] = spark.conf.get(key)
                 except Exception:
-                    _KERNEL_CONF_SAVED[key] = None
+                    state["saved"][key] = None
                 spark.conf.set(key, val)
-        _KERNEL_CONF_DEPTH += 1
+        state["depth"] += 1
     try:
         yield
     finally:
         with _KERNEL_CONF_LOCK:
-            _KERNEL_CONF_DEPTH -= 1
-            if _KERNEL_CONF_DEPTH == 0:
-                for key, old in _KERNEL_CONF_SAVED.items():
+            state["depth"] -= 1
+            if state["depth"] == 0:
+                for key, old in state["saved"].items():
                     if old is None:
                         spark.conf.unset(key)
                     else:
                         spark.conf.set(key, old)
-                _KERNEL_CONF_SAVED.clear()
+                state["saved"].clear()

@@ -166,3 +166,33 @@ def test_multimodal_features(spark):
     )
     frames = frame_sample(vid, every_ms=1000).collect()
     assert [(f["frame_idx"], f["ts_ms"]) for f in frames] == [(0, 0), (1, 1000), (2, 2000)]
+
+
+@pytest.mark.spark
+def test_lsh_bucket_null_embedding_yields_null(spark):
+    """Null embeddings: both bucket paths yield a NULL bucket instead of
+    crashing (round-4 ADVICE: the UDF's np.stack raised on None rows)."""
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators.ann import hyperplanes, lsh_bucket_col
+    from similardocs_spark.util import local_df
+
+    planes = hyperplanes(4, bits=6, seed=5)
+    rows = [
+        (0, [0.5, -1.0, 2.0, 0.25]),
+        (1, None),
+        (2, [1.0, 1.0, -1.0, 0.125]),
+        (3, None),
+    ]
+    emb = local_df(spark, rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["jvm"], r["udf"])
+        for r in emb.select(
+            "vec_id",
+            lsh_bucket_col(F.col("embedding"), planes, use_udf=False).alias("jvm"),
+            lsh_bucket_col(F.col("embedding"), planes, use_udf=True).alias("udf"),
+        ).collect()
+    }
+    assert got[1] == (None, None) and got[3] == (None, None)
+    for vid in (0, 2):
+        assert got[vid][0] is not None and got[vid][0] == got[vid][1]

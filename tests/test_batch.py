@@ -177,3 +177,27 @@ def test_batch_duplicate_queries_share_results(corpus):
         # alias rows carry the ALIAS's query_id, not the representative's —
         # consumers flattening results to a table key off the column
         assert all(r["query_id"] == qid for r in res[qid]), qid
+
+
+@pytest.mark.spark
+def test_kernel_conf_scopes_keyed_per_session(spark):
+    """Kernel-conf scope state is keyed by SparkSession: a scope entered on
+    a second session while the first holds one open must set AND restore
+    that session's own confs (round-4 ADVICE: a process-global depth
+    counter skipped the second session entirely)."""
+    from similardocs_spark.util import kernel_exec_conf
+
+    s2 = spark.newSession()
+    key = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+    base1, base2 = spark.conf.get(key), s2.conf.get(key)
+    assert base1 != "16k" and base2 != "16k"
+
+    with kernel_exec_conf(spark):
+        assert spark.conf.get(key) == "16k"
+        with kernel_exec_conf(s2):
+            # second session gets its own scope despite the open first scope
+            assert s2.conf.get(key) == "16k"
+        # and restores independently, while the first stays active
+        assert s2.conf.get(key) == base2
+        assert spark.conf.get(key) == "16k"
+    assert spark.conf.get(key) == base1

@@ -104,10 +104,10 @@ def test_simhash_bucket_cap_and_audit(spark):
     sigs = [(i, (i << 28) | 0x0000ABC) for i in range(8)]
     sig_df = local_df(spark, sigs, "doc_id long, simhash long")
     uncapped = simhash_near_dup_pairs(
-        None, max_hamming=3, signatures=sig_df, max_bucket=2000
+        None, max_hamming=3, signatures=sig_df, max_bucket=2000, bits=32
     ).count()
     capped = simhash_near_dup_pairs(
-        None, max_hamming=3, signatures=sig_df, max_bucket=2
+        None, max_hamming=3, signatures=sig_df, max_bucket=2, bits=32
     ).count()
     assert capped < uncapped
 
@@ -209,7 +209,7 @@ def test_simhash_pairs_banded_equals_bruteforce_sweep(spark):
         got = {
             (r["doc_a"], r["doc_b"], r["hamming"])
             for r in simhash_near_dup_pairs(
-                None, max_hamming=mh, signatures=sig_df
+                None, max_hamming=mh, signatures=sig_df, bits=32
             ).collect()
         }
         brute = {
@@ -294,3 +294,67 @@ def test_simhash64_banded_equals_bruteforce(spark):
         .collect()
     }
     assert got == brute and brute
+
+
+@pytest.mark.spark
+def test_simhash_bits_auto_selection(spark, monkeypatch):
+    """Defaulted bits=None auto-selects 64-bit signatures at corpus scale
+    (round-4: 32-bit band keys saturate ≥~10^5 docs) and 32-bit below it;
+    precomputed signatures demand an explicit bits."""
+    from similardocs_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"zika dengue fever outbreak tropical tail{i % 3} x{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    # small corpus → 32-bit (identical pair set to explicit bits=32)
+    auto = {tuple(r) for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()}
+    pinned = {
+        tuple(r) for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=32).collect()
+    }
+    assert auto == pinned
+
+    # corpus above the threshold → 64-bit
+    monkeypatch.setattr(dedup, "SIMHASH_AUTO64_MIN_DOCS", 10)
+    auto64 = {
+        tuple(r) for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    pinned64 = {
+        tuple(r) for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=64).collect()
+    }
+    assert auto64 == pinned64
+
+    sig = dedup.simhash32(docs)
+    with pytest.raises(ValueError, match="explicit bits"):
+        dedup.simhash_near_dup_pairs(None, max_hamming=3, signatures=sig)
+
+
+@pytest.mark.spark
+def test_minhash_band_config_dial(spark):
+    """(n_hashes, n_bands) are arguments end-to-end: more bands at fewer
+    rows-per-band can only widen the candidate set on the same corpus
+    (probability of some band matching is monotone in band count at fixed
+    rows); invalid splits fail fast."""
+    from similardocs_spark.operators.dedup import minhash_lsh_pairs
+
+    texts = [
+        "zika dengue fever outbreak tropical region report",
+        "zika dengue fever outbreak tropical region reports",
+        "different completely unrelated subject matter here now",
+    ]
+    docs = spark.createDataFrame(
+        [(i, texts[i % 3] + f" tail{i}") for i in range(12)],
+        "doc_id long, text string",
+    )
+    strict = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, n_hashes=12, n_bands=2).collect()
+    }
+    loose = {
+        tuple(r)
+        for r in minhash_lsh_pairs(docs, n_hashes=12, n_bands=4).collect()
+    }
+    assert strict <= loose
+
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(docs, n_hashes=12, n_bands=5).count()

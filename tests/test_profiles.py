@@ -222,3 +222,143 @@ def test_update_stale_large_store_bounded_driver(spark, tmp_path):
     assert probe["update_time"] == 100 and len(probe["sd_ids"]) == 3
     fresh = df.filter(F.col("id") == "u43").collect()[0]
     assert fresh["update_time"] == 999_999_999_999 and fresh["sd_ids"] == []
+
+
+class WriteCounter:
+    """Wraps _write_staged to count staged writes (one-write-per-bulk-op
+    assertions)."""
+
+    def __init__(self, store):
+        self.store, self.n = store, 0
+        self._orig = store._write_staged
+        store._write_staged = self
+
+    def __call__(self, df):
+        self.n += 1
+        self._orig(df)
+
+
+@pytest.mark.spark
+def test_upsert_profiles_bulk_semantics(spark, tmp_path):
+    """Bulk upsert = ONE staged write with per-row add_profile semantics:
+    new rows get creation_time=now, changed content resets to stale
+    preserving creation_time, unchanged content leaves the live row
+    untouched (round-4 review: import was N full-table writes)."""
+    store = ProfileStore(spark, str(tmp_path / "pb"))
+    store.add_profile("u", "a", "zika", now_ms=10)
+    eng = FakeEngine()
+    store.update_stale(eng, now_ms=50)  # 'a' now fresh with sd_ids
+
+    wc = WriteCounter(store)
+    n = store.upsert_profiles(
+        [
+            ("u", "a", "zika"),          # unchanged → untouched
+            ("u", "b", "dengue"),        # new
+            ("u", "c", "febre"),         # new
+            ("u", "c", "febre amarela"), # later duplicate id wins
+        ],
+        now_ms=100,
+    )
+    assert n == 3 and wc.n == 1
+    rows = {r["prof_name"]: r for r in store.get_profiles("u")}
+    assert set(rows) == {"a", "b", "c"}
+    assert rows["a"]["update_time"] == 50 and len(rows["a"]["sd_ids"]) == 3
+    assert rows["a"]["creation_time"] == 10
+    assert rows["b"]["creation_time"] == 100 and rows["b"]["update_time"] == 0
+    assert rows["c"]["prof_content"] == "febre amarela"
+
+    # changed content on an existing row → stale, creation preserved
+    wc.n = 0
+    store.upsert_profiles([("u", "a", "zika dengue chikungunya")], now_ms=200)
+    assert wc.n == 1
+    row = {r["prof_name"]: r for r in store.get_profiles("u")}["a"]
+    assert row["update_time"] == 0 and row["creation_time"] == 10
+    assert row["sd_ids"] == []
+
+
+@pytest.mark.spark
+def test_import_json_profiles_one_staged_write(spark, tmp_path):
+    import json
+
+    store = ProfileStore(spark, str(tmp_path / "pi"))
+    p = tmp_path / "profs.json"
+    p.write_text(
+        json.dumps(
+            {
+                f"k{i}": {
+                    "user": [f"user{i % 2}"],
+                    "prof_name": [f"p{i}"],
+                    "prof_content": [f"zika dengue {i}"],
+                }
+                for i in range(6)
+            }
+        ),
+        encoding="utf-8",
+    )
+    from similardocs_spark.profiles import import_json_profiles
+
+    wc = WriteCounter(store)
+    assert import_json_profiles(store, str(p), now_ms=1000) == 6
+    assert wc.n == 1  # one staged write for the whole file
+    assert len(store.get_profiles("user0")) == 3
+
+
+@pytest.mark.spark
+def test_recover_leaves_inflight_staging_alone(spark, tmp_path):
+    """Round-4 ADVICE (medium): a reader's _recover must NOT clean
+    .staging/.old while the live table exists — a concurrent writer may
+    own them mid-write. Stray dirs are cleared by the next write instead."""
+    import os
+
+    store = ProfileStore(spark, str(tmp_path / "pr2"))
+    store.add_profile("u", "a", "zika", now_ms=10)
+    os.makedirs(store._stage(), exist_ok=True)
+    (tmp_path / "pr2.staging" / "part-inflight").write_text("x")
+    os.makedirs(store._old(), exist_ok=True)
+
+    profs = store.get_profiles("u")  # _recover runs inside _read
+    assert [p["prof_name"] for p in profs] == ["a"]
+    assert os.path.exists(store._stage())  # untouched: live table intact
+    assert os.path.exists(store._old())
+
+    # the next write clears the leftovers before staging its own data
+    store.add_profile("u", "b", "dengue", now_ms=20)
+    assert not os.path.exists(store._stage())
+    assert not os.path.exists(store._old())
+    assert len(store.get_profiles("u")) == 2
+
+
+@pytest.mark.spark
+def test_get_sim_docs_multi_stale_one_batch(spark, tmp_path):
+    """>1 stale requested profile → ONE search_batch call, not serial
+    engine.search per profile (round-4 verdict item 6)."""
+
+    class DocsEngine(FakeBatchEngine):
+        class _Docs:
+            def __init__(self, spark):
+                from pyspark.sql import functions as F
+
+                self._df = spark.range(200).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+                    F.lit("20270101").alias("update_date"),
+                    F.lit("db1").alias("db"),
+                    F.lit("i1").alias("instance"),
+                )
+
+            def filter(self, *a, **k):
+                return self._df.filter(*a, **k)
+
+        def __init__(self, spark):
+            super().__init__()
+            self._docs = self._Docs(spark)
+
+    store = ProfileStore(spark, str(tmp_path / "pms"))
+    eng = DocsEngine(spark)
+    for nm, content in (("a", "zika"), ("b", "dengue"), ("c", "febre")):
+        store.add_profile("u", nm, content, now_ms=10)
+    got = store.get_sim_docs(eng, "u", ["a", "b", "c"], max_docs=9, now_ms=99)
+    assert eng.batches == [3]  # one batch refresh for all three stale rows
+    assert len(got) == 9
+    # refresh persisted through the bounded upsert
+    assert all(p["update_time"] == 99 for p in store.get_profiles("u"))
