@@ -267,6 +267,106 @@ def run_level(args) -> None:
     spark.stop()
 
 
+def minhash_sweep(args) -> None:
+    """Band-config sweep on the seeded corpus (round-4 verdict item 2): the
+    12-hash/2-band default measured 70% planted-pair recall at the 1-in-40
+    edit distance. For each (n_hashes, n_bands) config record wall time,
+    shuffle bytes, total pairs, planted-pair recall (the 6000 seeded
+    near-dup pairs are (base_id, base_id + n_base + n_exact)), and the
+    oversized-bucket audit — the recall/shuffle trade-off table that picks
+    the shipped default."""
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName(f"minhash-sweep-{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(max(32, 2 * args.cores)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.retainedStages", "3000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators import dedup
+
+    n_base = args.convs
+    n_exact, n_near = n_base // 100, n_base // 50
+    offset = n_base + n_exact  # planted pair: (doc_b - offset, doc_b)
+
+    import tempfile
+
+    droot = tempfile.mkdtemp(prefix="mh_sweep_")
+    docs = make_docs(spark, n_base)
+    docs.write.mode("overwrite").parquet(droot + "/docs")
+    docs = spark.read.parquet(droot + "/docs")
+    n_docs = docs.count()
+
+    configs = [tuple(int(x) for x in c.split("/")) for c in args.configs.split(",")]
+    results = []
+    for n_hashes, n_bands in configs:
+        pre = {s["stageId"] for s in stages_snapshot()}
+        t0 = time.time()
+        pairs = dedup.minhash_lsh_pairs(
+            docs, n_hashes=n_hashes, n_bands=n_bands
+        )
+        agg = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("doc_b") >= offset)
+                    & (F.col("doc_a") == F.col("doc_b") - offset),
+                    1,
+                ).otherwise(0)
+            ).alias("planted_found"),
+        ).collect()[0]
+        wall = round(time.time() - t0, 2)
+        stages = [s for s in stages_snapshot() if s["stageId"] not in pre]
+        n_over = dedup.lsh_oversized_buckets(
+            docs, n_hashes=n_hashes, n_bands=n_bands
+        ).count()
+        rec = {
+            "n_hashes": n_hashes,
+            "n_bands": n_bands,
+            "rows_per_band": n_hashes // n_bands,
+            "wall_sec": wall,
+            "shuffleWriteMB": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            ),
+            "n_pairs": int(agg["n_pairs"]),
+            "planted_found": int(agg["planted_found"] or 0),
+            "planted_total": n_near,
+            "recall": round((agg["planted_found"] or 0) / n_near, 4),
+            "extra_pairs": int(agg["n_pairs"]) - int(agg["planted_found"] or 0),
+            "n_oversized_buckets": n_over,
+        }
+        results.append(rec)
+        print(json.dumps(rec), flush=True)
+
+    out = {
+        "corpus": {
+            "n_docs": n_docs,
+            "n_base": n_base,
+            "planted_near_pairs": n_near,
+            "edit_distance": "1 token per 40 replaced (shingle Jaccard ~0.86)",
+        },
+        "cores": args.cores,
+        "configs": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print("WROTE", args.out, flush=True)
+    import shutil
+
+    shutil.rmtree(droot, ignore_errors=True)
+    spark.stop()
+
+
 def merge(args) -> None:
     levels = [json.load(open(p)) for p in args.merge]
     levels.sort(key=lambda d: d["cores"])
@@ -313,10 +413,16 @@ def main() -> None:
     p.add_argument("--merge", nargs="*", default=None)
     p.add_argument("--ops", default=None,
                    help="comma-separated op names to run (default: all)")
+    p.add_argument("--minhash-sweep", action="store_true",
+                   help="run the (n_hashes/n_bands) recall sweep instead")
+    p.add_argument("--configs", default="12/2,18/3,16/4,24/4,24/6",
+                   help="comma-separated n_hashes/n_bands configs for the sweep")
     p.add_argument("--out", default="ops_scale.json")
     args = p.parse_args()
     if args.merge:
         merge(args)
+    elif args.minhash_sweep:
+        minhash_sweep(args)
     else:
         run_level(args)
 
