@@ -22,14 +22,22 @@ from pyspark.sql.window import Window
 
 from ..functions.tokenize import tokenize as tokenize_udf
 
-N_HASHES = 12
-N_BANDS = 2  # 6 rows per band (strict buckets)
+N_HASHES = 16
+N_BANDS = 4  # 4 rows per band
 # Recall at the banding defaults, measured on the 309k-doc seeded corpus
 # (1 token per 40 edited → shingle Jaccard s ≈ 0.86): candidate recall is
-# 1-(1-s^r)^b with r = n_hashes/n_bands rows per band. The round-4 default
-# (12/2, r=6) measured 70% planted-pair recall — see the round-5 band sweep
-# in BENCH_OPS_SCALING.json for the recall/shuffle trade-off per config;
-# (n_hashes, n_bands) are arguments on every banding entry point.
+# 1-(1-s^r)^b with r = n_hashes/n_bands rows per band. The round-5 band sweep
+# (MINHASH_SWEEP.json, 309k docs, 6000 planted near-dup pairs, 0 oversized
+# buckets everywhere) measured:
+#     12/2 (r=6): 0.697 recall, 553 MB shuffle, 74 s
+#     18/3 (r=6): 0.833 recall, 671 MB shuffle, 97 s
+#     16/4 (r=4): 0.968 recall, 640 MB shuffle, 119 s   <- default
+#     24/4 (r=6): 0.908 recall, 789 MB shuffle, 115 s
+#     24/6 (r=4): 0.994 recall, 801 MB shuffle, 173 s   <- max-recall dial
+# 16/4 is the cheapest config clearing 0.9 recall at that edit distance;
+# (n_hashes, n_bands) are arguments on every banding entry point for callers
+# who need a different point on the curve (the seed-i hash family is shared,
+# so any config is comparable against the same signatures).
 
 
 def exact_dedup_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
