@@ -75,13 +75,37 @@ def decode_features(media: DataFrame, deterministic_fake: bool = True) -> DataFr
                 raise NotImplementedError(
                     "real image/audio decode requires PIL/torchaudio — not in container"
                 )
-            payloads = pdf["payload"]
+            raw = [bytes(b) for b in pdf["payload"]]
+            n_bytes = np.fromiter(
+                (len(b) for b in raw), dtype=np.int64, count=len(raw)
+            )
+            # md5 is inherently per-value; everything downstream is one
+            # batch-wide matrix op over the stacked digests (parity with the
+            # per-row _fake_features spec is pytest-pinned)
+            digests = (
+                np.frombuffer(
+                    b"".join(hashlib.md5(b).digest() for b in raw), dtype=np.uint8
+                )
+                .reshape(len(raw), 16)
+                .astype(np.float32)
+            )
+            moments = np.column_stack(
+                [
+                    (n_bytes % 997).astype(np.float32),
+                    digests[:, :4].sum(axis=1),
+                    digests[:, 4:8].sum(axis=1),
+                    digests[:, 8:12].sum(axis=1),
+                ]
+            )
+            feats = np.concatenate(
+                [moments, digests[:, : FEATURE_DIM - 4]], axis=1
+            )[:, :FEATURE_DIM]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": payloads.map(len).astype("int64"),
-                    "features": payloads.map(lambda b: _fake_features(bytes(b))),
+                    "n_bytes": n_bytes,
+                    "features": list(feats),
                 }
             )
 
