@@ -34,7 +34,9 @@ FROM g
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return dedup.minhash_lsh_pairs(docs).orderBy("doc_a", "doc_b")
+    return dedup.minhash_lsh_pairs(docs, estimate_jaccard=True).orderBy(
+        "doc_a", "doc_b"
+    )
 
 
 def _sql_shingle_ctes(src: str = "documents") -> str:
@@ -75,7 +77,11 @@ def _sql_minhash() -> str:
         )
         for b in range(bands)
     )
-    # mirrors minhash_lsh_pairs: exact-collapse prepass (reps) + bucket cap
+    agree = " + ".join(
+        f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)" for i in range(n)
+    )
+    # mirrors minhash_lsh_pairs(estimate_jaccard=True): exact-collapse
+    # prepass (reps) + bucket cap + signature-agreement Jaccard estimate
     return f"""
 WITH {sqlgen.stopword_cte()},
 reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
@@ -85,10 +91,15 @@ sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
 bands AS ({band_selects}),
 bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
 ok AS (SELECT b.* FROM bands b JOIN bsz s ON b.band = s.band AND b.key = s.key
-       WHERE s.n <= {dedup.MAX_BUCKET})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM ok a JOIN ok b
-  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       WHERE s.n <= {dedup.MAX_BUCKET}),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM ok a JOIN ok b
+           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+SELECT c.doc_a, c.doc_b,
+       CAST({agree} AS DOUBLE) / {n} AS jaccard_est
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
 ORDER BY doc_a, doc_b
 """
 

@@ -144,6 +144,7 @@ def minhash_lsh_pairs(
     docs: DataFrame, text_col: str = "text", max_bucket: int = MAX_BUCKET,
     collapsed: bool = False,
     n_hashes: int = N_HASHES, n_bands: int = N_BANDS,
+    estimate_jaccard: bool = False, min_jaccard: float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any LSH band bucket.
     Band key = concat of the band's minhashes; pairs joined only within
@@ -166,13 +167,29 @@ def minhash_lsh_pairs(
     Recall dial: candidate recall ≈ 1-(1-s^r)^b at shingle Jaccard s with
     r = n_hashes/n_bands rows per band and b = n_bands. More bands → higher
     recall AND b× more bucket rows (shuffle); fewer rows per band → looser
-    buckets (more false candidates — this operator does not verify). See
-    the measured sweep in BENCH_OPS_SCALING.json (round 5) before changing
-    the dial for a corpus."""
+    buckets (more false candidates). See the measured sweep in
+    MINHASH_SWEEP.json before changing the dial for a corpus.
+
+    Verification dial: banding alone yields CANDIDATES; a training pipeline
+    usually wants similarity-attested pairs. `estimate_jaccard=True` attaches
+    `jaccard_est` — the fraction of the n_hashes signature components that
+    agree, the standard unbiased MinHash estimator of shingle Jaccard
+    (resolution 1/n_hashes) — and `min_jaccard=t` filters on it (implies the
+    estimate). Cost: two joins of the bounded candidate set back against the
+    signature table (n_hashes ints per doc ≈ 1% of the band shuffle at the
+    default config) — NOT a recompute of the signature lineage, and no
+    re-read of the texts."""
     reps = docs if collapsed else exact_representatives(docs, text_col)
-    all_bands = _band_buckets(
-        minhash_signatures(reps, text_col, n_hashes), n_hashes, n_bands
-    )
+    want_est = estimate_jaccard or min_jaccard is not None
+    sig = minhash_signatures(reps, text_col, n_hashes)
+    if want_est:
+        # sig feeds three subtrees (band rows + both estimate joins); persist
+        # the compact signature table (n_hashes hex strings per doc — far
+        # smaller than the texts) so the tokenize→shingle→minhash lineage
+        # still runs exactly once. ContextCleaner unpersists when the result
+        # DataFrame is dropped.
+        sig = sig.persist()
+    all_bands = _band_buckets(sig, n_hashes, n_bands)
     capped = (
         all_bands.withColumn(
             "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
@@ -193,7 +210,31 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    return pairs
+    if not want_est:
+        return pairs
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard_est", (agree / F.lit(n_hashes)).cast("double")
+        )
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+    if min_jaccard is not None:
+        est = est.filter(F.col("jaccard_est") >= min_jaccard)
+    return est
 
 
 def deduplicate(
@@ -205,6 +246,7 @@ def deduplicate(
     stats: dict | None = None,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Doc-level dedup ACTION: returns the deduplicated docs table (all
     original columns), keeping min(doc_id) per exact-text group and — with
@@ -219,7 +261,13 @@ def deduplicate(
 
     `stats` (optional dict) is filled with observability counters:
     iterations run, converged flag — so scale harnesses can record the
-    propagation depth without parsing logs."""
+    propagation depth without parsing logs.
+
+    `min_jaccard=t` attests every edge of the component graph with the
+    signature-agreement Jaccard estimate before propagation (see
+    minhash_lsh_pairs) — without it, one false banding candidate can
+    bridge two otherwise-distinct components and drop every doc of the
+    merged component but one."""
     if stats is not None:
         stats.update({"iterations": 0, "converged": True})
     reps = exact_representatives(docs, text_col)
@@ -227,7 +275,7 @@ def deduplicate(
         return reps
     pairs = minhash_lsh_pairs(
         reps, text_col, max_bucket=max_bucket, collapsed=True,
-        n_hashes=n_hashes, n_bands=n_bands,
+        n_hashes=n_hashes, n_bands=n_bands, min_jaccard=min_jaccard,
     )
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (

@@ -358,3 +358,79 @@ def test_minhash_band_config_dial(spark):
 
     with pytest.raises(ValueError, match="divisible"):
         minhash_lsh_pairs(docs, n_hashes=12, n_bands=5).count()
+
+
+@pytest.mark.spark
+def test_minhash_jaccard_estimate_exact_parity(spark):
+    """jaccard_est equals the signature-agreement fraction recomputed in
+    Python from the operator's own shingle sets (same md5 seed family),
+    and min_jaccard filters exactly on that value."""
+    import hashlib
+
+    from similardocs_spark.operators.dedup import minhash_lsh_pairs, shingles
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " kilo"),
+            (3, "totally different words here now aardvark basilisk caiman"),
+            (4, "totally different words here now aardvark basilisk caimans"),
+        ],
+        "doc_id long, text string",
+    )
+    n_hashes, n_bands = 8, 4
+    rows = minhash_lsh_pairs(
+        docs, estimate_jaccard=True, n_hashes=n_hashes, n_bands=n_bands
+    ).collect()
+    assert rows, "fixture pairs must survive banding"
+
+    sets: dict[int, set[str]] = {}
+    for r in shingles(docs).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+
+    def mh(doc: int, i: int) -> str:
+        return min(
+            hashlib.md5(f"{i}|{s}".encode()).hexdigest() for s in sets[doc]
+        )
+
+    by_pair = {}
+    for r in rows:
+        agree = sum(
+            mh(r["doc_a"], i) == mh(r["doc_b"], i) for i in range(n_hashes)
+        )
+        assert r["jaccard_est"] == agree / n_hashes
+        by_pair[(r["doc_a"], r["doc_b"])] = r["jaccard_est"]
+
+    for t in (0.5, 0.9):
+        kept = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(
+                docs, n_hashes=n_hashes, n_bands=n_bands, min_jaccard=t
+            ).collect()
+        }
+        assert kept == {k for k, v in by_pair.items() if v >= t}
+
+
+@pytest.mark.spark
+def test_deduplicate_min_jaccard_gate(spark):
+    """min_jaccard above every edge estimate disables near-dedup (only the
+    exact collapse remains); without it the near-dup pair is dropped."""
+    from similardocs_spark.operators.dedup import deduplicate
+
+    long_base = (
+        "zika dengue fever outbreak tropical region report alpha bravo "
+        "charlie delta echo foxtrot golf hotel india"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, long_base + " juliet"),
+            (2, long_base + " juliets"),
+            (3, "completely unrelated subject matter discussed here often"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {r["doc_id"] for r in deduplicate(docs).collect()}
+    assert plain == {1, 3}
+    gated = {r["doc_id"] for r in deduplicate(docs, min_jaccard=1.01).collect()}
+    assert gated == {1, 2, 3}
