@@ -170,6 +170,12 @@ def run_level(args) -> None:
     def measured(name: str, fn):
         if only is not None and name not in only:
             return
+        # per-op isolation: a prior op's persisted signature table would be
+        # silently substituted by the CacheManager into any later op with
+        # the same sub-plan (measured: deduplicate 140 s → 11 s when it
+        # rides the minhash step's cache) — real pipelines get that reuse
+        # for free, but the campaign records STANDALONE op cost
+        spark.catalog.clearCache()
         pre = {s["stageId"] for s in stages_snapshot()}
         t = time.time()
         out = fn()
@@ -192,10 +198,34 @@ def run_level(args) -> None:
         "exact_dedup_stats",
         lambda: dedup.exact_dedup_stats(docs).collect()[0].asDict(),
     )
-    measured(
-        "minhash_lsh_pairs",
-        lambda: {"n_pairs": dedup.minhash_lsh_pairs(docs).count()},
-    )
+    # planted near-dup pair ids: (doc_b - offset, doc_b) — see make_docs
+    n_exact, n_near = args.convs // 100, args.convs // 50
+    offset = args.convs + n_exact
+
+    def run_minhash():
+        pairs = dedup.minhash_lsh_pairs(docs, estimate_jaccard=True)
+        planted = (F.col("doc_b") >= offset) & (
+            F.col("doc_a") == F.col("doc_b") - offset
+        )
+        row = pairs.agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(planted.cast("int")).alias("planted_found"),
+            F.round(F.avg(F.when(planted, F.col("jaccard_est"))), 4).alias(
+                "planted_mean_jaccard_est"
+            ),
+            F.round(
+                F.avg(F.when(~planted, F.col("jaccard_est"))), 4
+            ).alias("nonplanted_mean_jaccard_est"),
+            F.sum((F.col("jaccard_est") < 0.5).cast("int")).alias(
+                "n_pairs_below_est_0_5"
+            ),
+        ).collect()[0]
+        d = row.asDict()
+        d["planted_total"] = n_near
+        d["recall"] = round((d["planted_found"] or 0) / n_near, 4)
+        return d
+
+    measured("minhash_lsh_pairs", run_minhash)
     measured(
         "minhash_oversized_audit",
         lambda: {

@@ -107,6 +107,61 @@ ORDER BY doc_a, doc_b
 SQL_MINHASH_PAIRS = _sql_minhash()
 
 
+# -------------------------------------------- 12b. incremental minhash ingest
+
+
+def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest: even doc_ids are the accepted corpus (signature
+    state only — its texts are never re-shingled), odd doc_ids arrive as a
+    new batch; candidate pairs with ≥1 new side. operators/
+    dedup_incremental.py:pairs_against."""
+    from .operators import dedup_incremental as inc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return inc.pairs_against(batch, inc.signatures_for(corpus)).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _sql_minhash_incremental() -> str:
+    n, bands = dedup.N_HASHES, dedup.N_BANDS
+    rows = n // bands
+    mh_cols = ", ".join(
+        f"MIN(md5('{i}|' || shingle)) AS mh{i}" for i in range(n)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {key} AS key FROM sig".format(
+            b=b,
+            key=" || '_' || ".join(f"mh{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    # per-SIDE exact collapse (GROUP BY md5, parity) — a batch text equal to
+    # a corpus text still pairs; corpus×corpus candidates are excluded by
+    # the ≥1-odd-side predicate
+    return f"""
+WITH {sqlgen.stopword_cte()},
+reps AS (SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+         FROM documents GROUP BY md5(text), doc_id % 2),
+{_sql_shingle_ctes(src="reps")},
+sig AS (SELECT doc_id, {mh_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects}),
+bsz AS (SELECT band, key, COUNT(*) AS n FROM bands GROUP BY band, key),
+ok AS (SELECT b.* FROM bands b JOIN bsz s ON b.band = s.band AND b.key = s.key
+       WHERE s.n <= {dedup.MAX_BUCKET})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM ok a JOIN ok b
+  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1
+ORDER BY doc_a, doc_b
+"""
+
+
+SQL_MINHASH_INCREMENTAL = _sql_minhash_incremental()
+
+
 # --------------------------------------------------------------- 13. simhash32
 
 
@@ -644,6 +699,7 @@ OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_docs": q_dedup_docs,
     "minhash_pairs": q_minhash_pairs,
+    "minhash_incremental": q_minhash_incremental,
     "simhash": q_simhash,
     "simhash_pairs": q_simhash_pairs,
     "simhash_buckets": q_simhash_buckets,
@@ -663,6 +719,7 @@ OPS_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "dedup_docs": SQL_DEDUP_DOCS,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "minhash_incremental": SQL_MINHASH_INCREMENTAL,
     "simhash": SQL_SIMHASH,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "simhash_buckets": SQL_SIMHASH_BUCKETS,

@@ -1,0 +1,250 @@
+"""Incremental near-duplicate detection: new document batches vs an
+existing corpus, without re-reading (or re-shingling) the corpus.
+
+The batch `deduplicate` / `minhash_lsh_pairs` operators (dedup.py) assume
+the whole corpus is in hand. A training-data pipeline ingests continuously:
+each new batch must be checked against everything already accepted, and at
+100 TB the accepted corpus CANNOT be re-tokenized per batch. The contract
+here mirrors the engine's index/incremental.py pattern (reference parity:
+the reference's incremental updater tops up a stateful Lucene index —
+SimilarDocs' WebUpdaterService / LuceneIndexMain add-documents path — and
+this module is that idea applied to the dedup signature state):
+
+  - the STATE is the MinHash signature table (doc_id, mh0..mh{n-1}) — a
+    projection ~50× smaller than the texts, written once per accepted batch
+    (`signatures_for`, caller persists it wherever corpus state lives);
+  - `pairs_against(new_docs, corpus_sig)` computes signatures for the NEW
+    batch only, bands BOTH sides (banding corpus signatures is a cheap
+    projection of the stored state — no text I/O), and joins candidates
+    within buckets requiring ≥1 new side: new×new and new×corpus pairs,
+    never corpus×corpus (already adjudicated when those docs were accepted);
+  - `accept_batch` = the two-call composition callers run per ingest tick.
+
+The seed-i hash family (dedup._minhash_cols) is shared across configs and
+widening `n_hashes` only APPENDS columns, so a corpus signature table
+written at n=16 serves any future config with n_hashes ≤ 16.
+
+Skew guards are inherited from the batch operator: the bucket cap applies
+to the COMBINED (corpus ∪ new) bucket — a boilerplate text that saturated
+a bucket in the corpus keeps capping it for new batches (observable via
+`oversized_buckets_against`, never silent).
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .dedup import (
+    MAX_BUCKET,
+    N_BANDS,
+    N_HASHES,
+    _band_buckets,
+    exact_representatives,
+    minhash_signatures,
+)
+
+
+def signatures_for(
+    docs: DataFrame, text_col: str = "text", n_hashes: int = N_HASHES
+) -> DataFrame:
+    """Signature rows (doc_id, mh0..mh{n-1}) for a batch — the state a
+    caller appends to its corpus signature table after accepting the batch.
+    Exact-duplicate texts within the batch are collapsed to their min-id
+    representative first (identical texts are the exact-dedup operator's
+    job; signature state only needs one row per distinct text)."""
+    return minhash_signatures(
+        exact_representatives(docs, text_col), text_col, n_hashes
+    )
+
+
+def _validate_sig(sig: DataFrame, n_hashes: int) -> None:
+    missing = [f"mh{i}" for i in range(n_hashes) if f"mh{i}" not in sig.columns]
+    if missing:
+        raise ValueError(
+            f"corpus signature table lacks columns {missing} — it was built "
+            f"with fewer hashes than n_hashes={n_hashes}; rebuild the state "
+            "or query with a smaller n_hashes (the seed-i family is shared, "
+            "so narrowing is always valid)"
+        )
+
+
+def pairs_against(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    estimate_jaccard: bool = False,
+    min_jaccard: float | None = None,
+    new_sig: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs with ≥1 side in the new batch.
+
+    Output: (doc_a, doc_b[, jaccard_est]) with doc_a < doc_b; both
+    new×new and new×corpus pairs are produced, corpus×corpus never is
+    (those documents were already adjudicated when accepted). doc_id
+    spaces must be disjoint between corpus and batch — the caller's id
+    allocator owns that invariant (same contract as index ingestion).
+
+    Scale shape: the corpus side is a PROJECTION of the stored signature
+    table into band rows — no corpus text is read, no signature is
+    recomputed; per-tick cost is O(batch) signature work plus the banded
+    join against corpus band rows. `new_sig` lets a caller that already
+    ran `signatures_for` on the batch (to append state) reuse it instead
+    of recomputing.
+
+    `estimate_jaccard` / `min_jaccard` behave as in minhash_lsh_pairs:
+    the signature-agreement estimator over the union signature table.
+    """
+    if new_sig is None:
+        new_sig = signatures_for(new_docs, text_col, n_hashes)
+    _validate_sig(corpus_sig, n_hashes)
+    _validate_sig(new_sig, n_hashes)
+    want_est = estimate_jaccard or min_jaccard is not None
+
+    keep = ["doc_id", *[f"mh{i}" for i in range(n_hashes)]]
+    sig = (
+        corpus_sig.select(*keep)
+        .withColumn("is_new", F.lit(False))
+        .unionByName(new_sig.select(*keep).withColumn("is_new", F.lit(True)))
+    )
+    if want_est:
+        # sig feeds band rows + both estimate joins — persist the compact
+        # signature union so nothing runs twice (see minhash_lsh_pairs)
+        sig = sig.persist()
+
+    bands = _band_buckets(sig, n_hashes, n_bands).join(
+        sig.select("doc_id", "is_new"), "doc_id"
+    )
+    capped = (
+        bands.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.is_new") | F.col("b.is_new")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    if not want_est:
+        return pairs
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(n_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard_est", (agree / F.lit(n_hashes)).cast("double"))
+        .select("doc_a", "doc_b", "jaccard_est")
+    )
+    if min_jaccard is not None:
+        est = est.filter(F.col("jaccard_est") >= min_jaccard)
+    return est
+
+
+def oversized_buckets_against(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Audit: the combined (corpus ∪ new) band buckets pairs_against would
+    skip, with sizes — the no-silent-caps contract, incremental edition."""
+    sig = corpus_sig.select(
+        "doc_id", *[f"mh{i}" for i in range(n_hashes)]
+    ).unionByName(
+        signatures_for(new_docs, text_col, n_hashes).select(
+            "doc_id", *[f"mh{i}" for i in range(n_hashes)]
+        )
+    )
+    return (
+        _band_buckets(sig, n_hashes, n_bands)
+        .groupBy("band", "key")
+        .agg(F.count("*").alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket)
+    )
+
+
+def accept_batch(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    text_col: str = "text",
+    min_jaccard: float | None = None,
+    max_bucket: int = MAX_BUCKET,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingest tick: returns (accepted_docs, pairs, new_state_rows).
+
+    accepted_docs = new batch minus every doc with a near-match in the
+    corpus, minus the higher-id side of every in-batch pair (edge-wise
+    rejection: unlike `deduplicate`'s connected components it keeps two
+    batch docs that BOTH match a third but not each other — correct for
+    threshold similarity, which is not transitive); pairs = the evidence
+    (doc_a < doc_b, with jaccard_est when min_jaccard gates);
+    new_state_rows = signature rows for the ACCEPTED docs only — append
+    these to the corpus signature table after committing the batch. Exact
+    in-batch duplicates are also dropped (signatures_for collapses them;
+    the collapsed ids never reach the survivor set). Corpus ids may sort
+    above or below batch ids — rejection keys on WHICH side is new, not
+    on id order.
+    """
+    new_sig = signatures_for(new_docs, text_col, n_hashes)
+    pairs = pairs_against(
+        new_docs,
+        corpus_sig,
+        text_col,
+        max_bucket=max_bucket,
+        n_hashes=n_hashes,
+        n_bands=n_bands,
+        min_jaccard=min_jaccard,
+        new_sig=new_sig,
+    )
+    new_ids = new_sig.select("doc_id")
+    flagged = pairs.join(
+        new_ids.select(
+            F.col("doc_id").alias("doc_a"), F.lit(True).alias("_a_new")
+        ),
+        "doc_a",
+        "left",
+    ).join(
+        new_ids.select(
+            F.col("doc_id").alias("doc_b"), F.lit(True).alias("_b_new")
+        ),
+        "doc_b",
+        "left",
+    )
+    # corpus match → the new side goes; in-batch pair → the higher id goes
+    rejected = flagged.select(
+        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    survivors = new_ids.join(rejected, "doc_id", "left_anti")
+    accepted = new_docs.join(survivors, "doc_id", "left_semi")
+    state = new_sig.join(survivors, "doc_id", "left_semi")
+    return accepted, pairs, state
