@@ -1,0 +1,261 @@
+"""Incremental embedding near-dup detection: new vector batches vs an
+existing corpus, mirroring operators/dedup_incremental.py for the
+embedding modality.
+
+State is the ACCEPTED embeddings enriched with their LSH artifacts —
+per-table hyperplane buckets (b0..b{tables-1}) and the vector norm —
+so per ingest tick the corpus side is read as-is: no re-projection
+(the matmul bucket UDF runs over the new batch only) and no norm
+recompute. Unlike the text case the vectors themselves must live in
+state anyway (exact cosine verification needs them), so the win is
+compute + the ingestion CONTRACT: new×corpus and new×new candidates
+only, never corpus×corpus, with the same bucket-cap observability and
+every emitted pair exactly verified.
+
+The LSH configuration (dim, bits, tables, seed) is stamped into the
+bucket columns' field metadata — Spark persists field metadata through
+parquet — and `pairs_against` fails fast on a mismatched or missing
+config instead of silently joining buckets from different hash families.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .ann import _dot, _norm, hyperplanes, lsh_bucket_col
+
+
+def state_for(
+    embeddings: DataFrame,
+    dim: int | None = None,
+    bits: int = 6,
+    tables: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """State rows (id, vector, _n, b0..b{tables-1}) for a batch — what a
+    caller appends to its corpus state after accepting the batch. Bucket
+    columns carry the LSH config as field metadata."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    cols = [
+        F.col(id_col),
+        F.col(vec_col),
+        _norm(F.col(vec_col)).alias("_n"),
+    ]
+    meta = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
+    for t in range(tables):
+        cols.append(
+            lsh_bucket_col(
+                F.col(vec_col), hyperplanes(dim, bits, seed + t)
+            ).alias(f"b{t}", metadata=meta)
+        )
+    return embeddings.select(*cols)
+
+
+def _validate_state(state: DataFrame, tables: int, expect: dict) -> None:
+    for t in range(tables):
+        name = f"b{t}"
+        if name not in state.columns:
+            raise ValueError(
+                f"corpus state lacks bucket column {name} — it was built "
+                f"with fewer tables than tables={tables}"
+            )
+        meta = state.schema[name].metadata
+        if meta:
+            got = {k: meta.get(k) for k in ("dim", "bits", "tables", "seed")}
+            if any(got[k] is not None and got[k] != expect[k] for k in expect):
+                raise ValueError(
+                    f"corpus state column {name} was built with LSH config "
+                    f"{got}, query uses {expect} — bucket ids are from "
+                    "different hash families; rebuild the state or match "
+                    "the config"
+                )
+
+
+def pairs_against(
+    new_embeddings: DataFrame,
+    corpus_state: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    new_state: DataFrame | None = None,
+) -> DataFrame:
+    """Verified near-dup pairs (vec_a, vec_b, cosine_e6) with ≥1 side in
+    the new batch; vec_a < vec_b; corpus×corpus pairs never produced.
+    Same scale shape as embedding_near_dup_pairs: ids-only candidate
+    shuffle, per-table combined-bucket cap, exact cosine verification of
+    every emitted pair. `new_state` lets a caller reuse `state_for`
+    output computed for the append."""
+    if dim is None:
+        dim = len(new_embeddings.select(vec_col).first()[0])
+    expect = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
+    if new_state is None:
+        new_state = state_for(
+            new_embeddings, dim, bits, tables, seed, id_col, vec_col
+        )
+    _validate_state(corpus_state, tables, expect)
+    _validate_state(new_state, tables, expect)
+
+    keep = [id_col, vec_col, "_n", *[f"b{t}" for t in range(tables)]]
+    union = (
+        corpus_state.select(*keep)
+        .withColumn("is_new", F.lit(False))
+        .unionByName(
+            new_state.select(*keep).withColumn("is_new", F.lit(True))
+        )
+        .persist()  # feeds per-table bucket joins + the verify join
+    )
+    pair_frames = []
+    for t in range(tables):
+        bt = union.select(
+            F.col(id_col), F.col(f"b{t}").alias("bucket"), "is_new"
+        ).filter(F.col("bucket").isNotNull())
+        capped = (
+            bt.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        a, b = capped.alias("a"), capped.alias("b")
+        pair_frames.append(
+            a.join(
+                b,
+                (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a.is_new") | F.col("b.is_new")),
+            ).select(
+                F.col(f"a.{id_col}").alias("vec_a"),
+                F.col(f"b.{id_col}").alias("vec_b"),
+            )
+        )
+    cands = pair_frames[0]
+    for x in pair_frames[1:]:
+        cands = cands.unionByName(x)
+    cands = cands.dropDuplicates(["vec_a", "vec_b"])
+    va = union.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
+    )
+    vb = union.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
+    )
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn(
+            "cosine_e6",
+            F.round(
+                _dot(F.col("_va"), F.col("_vb"))
+                / (F.col("_na") * F.col("_nb"))
+                * 1e6
+            ).cast("long"),
+        )
+        .filter(F.col("cosine_e6") >= int(round(threshold * 1e6)))
+        .select("vec_a", "vec_b", "cosine_e6")
+    )
+
+
+def accept_batch(
+    new_embeddings: DataFrame,
+    corpus_state: DataFrame,
+    threshold: float = 0.9,
+    bits: int = 6,
+    tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """One ingest tick: (accepted_embeddings, pairs, new_state_rows).
+    Rejection is id-order-agnostic and edge-wise, identical to
+    dedup_incremental.accept_batch: a corpus match drops the new side,
+    an in-batch pair drops the higher id."""
+    if dim is None:
+        dim = len(new_embeddings.select(vec_col).first()[0])
+    new_state = state_for(
+        new_embeddings, dim, bits, tables, seed, id_col, vec_col
+    )
+    pairs = pairs_against(
+        new_embeddings,
+        corpus_state,
+        threshold,
+        bits,
+        tables,
+        seed,
+        max_bucket,
+        id_col,
+        vec_col,
+        dim,
+        new_state=new_state,
+    )
+    new_ids = new_state.select(F.col(id_col).alias("doc_id"))
+    flagged = pairs.join(
+        new_ids.select(
+            F.col("doc_id").alias("vec_a"), F.lit(True).alias("_a_new")
+        ),
+        "vec_a",
+        "left",
+    ).join(
+        new_ids.select(
+            F.col("doc_id").alias("vec_b"), F.lit(True).alias("_b_new")
+        ),
+        "vec_b",
+        "left",
+    )
+    rejected = flagged.select(
+        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("vec_a"))
+        .otherwise(F.col("vec_b"))
+        .alias(id_col)
+    ).distinct()
+    survivors = new_state.select(id_col).join(rejected, id_col, "left_anti")
+    accepted = new_embeddings.join(survivors, id_col, "left_semi")
+    state = new_state.join(survivors, id_col, "left_semi")
+    return accepted, pairs, state
+
+
+def oversized_buckets_against(
+    new_embeddings: DataFrame,
+    corpus_state: DataFrame,
+    bits: int = 6,
+    tables: int = 2,
+    seed: int = 42,
+    max_bucket: int = 2000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Audit: combined (corpus ∪ new) buckets pairs_against would skip,
+    as (table, bucket, bucket_size) rows — no silent caps."""
+    if dim is None:
+        dim = len(new_embeddings.select(vec_col).first()[0])
+    new_state = state_for(
+        new_embeddings, dim, bits, tables, seed, id_col, vec_col
+    )
+    frames = []
+    for t in range(tables):
+        frames.append(
+            corpus_state.select(F.col(f"b{t}").alias("bucket"))
+            .unionByName(new_state.select(F.col(f"b{t}").alias("bucket")))
+            .filter(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count("*").alias("bucket_size"))
+            .filter(F.col("bucket_size") > max_bucket)
+            .select(F.lit(t).alias("table"), "bucket", "bucket_size")
+        )
+    out = frames[0]
+    for x in frames[1:]:
+        out = out.unionByName(x)
+    return out
