@@ -422,6 +422,85 @@ FROM prod ORDER BY cosine_e6 DESC, vec_id ASC LIMIT 10
 """
 
 
+# --------------------------------------------------------- 15a-ivf. IVF ANN
+
+_IVF_NC = 16
+_IVF_NPROBE = 4
+
+
+def _sql_ivf_ctes() -> str:
+    """cent/vc/assign CTEs: deterministic hash-sampled coarse quantizer +
+    per-vector nearest-centroid assignment (mirrors ann.ivf_centroids /
+    ann.ivf_assign_col — argmax cosine, ties to the smallest cid)."""
+    return f"""
+cent AS (
+  SELECT vec_id, embedding,
+         ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid
+  FROM embeddings WHERE embedding IS NOT NULL
+  QUALIFY cid < {_IVF_NC}
+),
+vc AS (
+  SELECT e.vec_id, c.cid,
+         SUM(CAST(e.embedding[u.i] AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE))
+           / sqrt(SUM(CAST(c.embedding[u.i] AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE)))
+           AS dot_n
+  FROM embeddings e CROSS JOIN cent c,
+       UNNEST(generate_series(1, len(e.embedding))) u(i)
+  GROUP BY e.vec_id, c.cid
+),
+assign AS (
+  SELECT vec_id, CAST(cid AS INTEGER) AS cid FROM vc
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot_n DESC, cid) = 1
+)"""
+
+
+def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialize-me-partitioned-by-cid inverted-list table."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_assignments(emb, n_centroids=_IVF_NC)
+
+
+SQL_IVF_ASSIGN = f"""
+WITH {_sql_ivf_ctes()}
+SELECT vec_id, cid FROM assign
+"""
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return ann.ivf_cosine_topk(
+        emb, _probe_vec(sf_dir), k=10, n_centroids=_IVF_NC, n_probe=_IVF_NPROBE
+    )
+
+
+SQL_IVF_TOPK = f"""
+WITH {_sql_ivf_ctes()},
+probe AS (SELECT embedding AS p FROM embeddings WHERE vec_id = 0),
+pc AS (
+  SELECT c.cid,
+         SUM(CAST(c.embedding[u.i] AS DOUBLE) * CAST(probe.p[u.i] AS DOUBLE))
+           / sqrt(SUM(CAST(c.embedding[u.i] AS DOUBLE) * CAST(c.embedding[u.i] AS DOUBLE)))
+           AS dot_n
+  FROM cent c CROSS JOIN probe,
+       UNNEST(generate_series(1, len(c.embedding))) u(i)
+  GROUP BY c.cid
+),
+probed AS (SELECT cid FROM pc QUALIFY ROW_NUMBER() OVER (ORDER BY dot_n DESC, cid) <= {_IVF_NPROBE}),
+scored AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[u.i] AS DOUBLE) * CAST(probe.p[u.i] AS DOUBLE)) AS dot,
+         SUM(CAST(e.embedding[u.i] AS DOUBLE) * CAST(e.embedding[u.i] AS DOUBLE)) AS nq,
+         SUM(CAST(probe.p[u.i] AS DOUBLE) * CAST(probe.p[u.i] AS DOUBLE)) AS np
+  FROM embeddings e CROSS JOIN probe,
+       UNNEST(generate_series(1, len(e.embedding))) u(i)
+  WHERE e.vec_id IN (SELECT a.vec_id FROM assign a JOIN probed p ON a.cid = p.cid)
+  GROUP BY e.vec_id
+)
+SELECT vec_id, CAST(ROUND(dot / sqrt(nq * np) * 1e6) AS BIGINT) AS cosine_e6
+FROM scored ORDER BY cosine_e6 DESC, vec_id LIMIT 10
+"""
+
+
 # ------------------------------------------ 15b. embedding near-dup pairs
 
 
@@ -609,6 +688,62 @@ FROM documents
 """
 
 
+# --------------------------------------------------- 18b. repetition signals
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.repetition_stats(docs)
+
+
+SQL_REPETITION = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, 1 AS n, unnest(ws) AS g FROM w
+  UNION ALL
+  SELECT doc_id, 2, unnest(list_transform(range(len(ws) - 1),
+                                          i -> ws[i + 1] || ' ' || ws[i + 2]))
+  FROM w WHERE len(ws) >= 2
+  UNION ALL
+  SELECT doc_id, 3, unnest(list_transform(range(len(ws) - 2),
+                                          i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+  FROM w WHERE len(ws) >= 3
+),
+counts AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY doc_id, n, g),
+per_n AS (SELECT doc_id, n, CAST(round(max(c) * 1e6 / sum(c)) AS BIGINT) AS f
+          FROM counts GROUP BY doc_id, n),
+lc AS (
+  SELECT doc_id, l, count(*) AS c, len(l) AS ch FROM (
+    SELECT doc_id, trim(unnest(string_split(coalesce(text, ''), chr(10)))) AS l
+    FROM documents
+  ) WHERE len(l) > 0 GROUP BY doc_id, l
+),
+lagg AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+    CAST(round((sum(c) - count(*)) * 1e6 / sum(c)) AS BIGINT) AS dup_line_frac_e6,
+    CAST(round(coalesce(sum(CASE WHEN c > 1 THEN c * ch END), 0) * 1e6
+               / greatest(sum(c * ch), 1)) AS BIGINT) AS dup_line_char_frac_e6
+  FROM lc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(l.n_lines, 0) AS n_lines,
+  coalesce(l.dup_line_frac_e6, 0) AS dup_line_frac_e6,
+  coalesce(l.dup_line_char_frac_e6, 0) AS dup_line_char_frac_e6,
+  coalesce(MAX(CASE WHEN p.n = 1 THEN p.f END), 0) AS top_word_frac_e6,
+  coalesce(MAX(CASE WHEN p.n = 2 THEN p.f END), 0) AS top_2gram_frac_e6,
+  coalesce(MAX(CASE WHEN p.n = 3 THEN p.f END), 0) AS top_3gram_frac_e6
+FROM documents d
+LEFT JOIN lagg l ON d.doc_id = l.doc_id
+LEFT JOIN per_n p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id, l.n_lines, l.dup_line_frac_e6, l.dup_line_char_frac_e6
+"""
+
+
 # ------------------------------------------------------------ 19. fingerprint
 
 
@@ -706,11 +841,14 @@ OPS_QUERIES = {
     "simhash64_pairs": q_simhash64_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "ivf_assign": q_ivf_assign,
+    "ivf_topk": q_ivf_topk,
     "embed_near_dups": q_embed_near_dups,
     "ngram_text": q_ngram_text,
     "langid": q_langid,
     "quality": q_quality,
     "token_counts": q_token_counts,
+    "repetition": q_repetition,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }
@@ -726,11 +864,14 @@ OPS_SQL = {
     "simhash64_pairs": SQL_SIMHASH64_PAIRS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "cosine_topk": SQL_COSINE_TOPK,
+    "ivf_assign": SQL_IVF_ASSIGN,
+    "ivf_topk": SQL_IVF_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
     "ngram_text": SQL_NGRAM_TEXT,
     "langid": SQL_LANGID,
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
+    "repetition": SQL_REPETITION,
     "fingerprint": SQL_FINGERPRINT,
     "media_features": SQL_MEDIA_FEATURES,
 }

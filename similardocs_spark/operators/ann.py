@@ -220,6 +220,124 @@ def embedding_near_dup_pairs(
     )
 
 
+# --------------------------------------------------------------------- IVF
+#
+# Inverted-file ANN (the FAISS IVF-Flat shape): a small coarse quantizer
+# partitions the corpus into n_centroids inverted lists; a probe scores the
+# centroids first and scans only the n_probe nearest lists. Complements the
+# LSH path above: LSH buckets are data-independent (hyperplane signs), IVF
+# lists follow the data distribution, which is what production ANN serving
+# uses when the corpus is clusterable.
+#
+# The coarse quantizer here is a DETERMINISTIC hash-sample of corpus vectors
+# (the n_centroids rows with the smallest md5(id), L2-normalized) rather
+# than trained k-means: it is reproducible cross-engine (→ a DuckDB oracle
+# pair can replay centroid selection exactly), and sampled-corpus seeding is
+# the standard k-means init anyway — a k-means refinement loop over
+# mapInPandas partial-sums would slot in behind the same API but breaks
+# oracle replay, so it is intentionally not the default.
+
+
+def ivf_centroids(
+    embeddings: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """The coarse quantizer: (n_centroids, dim) float64 matrix of
+    L2-normalized hash-sampled corpus vectors. Centroid j = the row with the
+    j-th smallest md5(CAST(id AS STRING)). The collect is bounded by
+    n_centroids — this is a MODEL PARAMETER (like the LSH plane matrix),
+    not data; at 100 TB n_centroids is a few thousand rows.
+
+    TakeOrderedAndProject plan: no full sort, no shuffle of vectors."""
+    rows = (
+        embeddings.select(F.col(id_col), F.col(vec_col))
+        .filter(F.col(vec_col).isNotNull())
+        .withColumn("_h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(C, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return C / norms
+
+
+def _ivf_assign_udf(cents: np.ndarray):
+    from pyspark.sql.functions import pandas_udf
+
+    CT = np.ascontiguousarray(cents.T)  # (dim, nc)
+
+    @pandas_udf("int")
+    def assign(vecs: pd.Series) -> pd.Series:
+        out = pd.Series([None] * len(vecs), index=vecs.index, dtype="object")
+        valid = [i for i, v in enumerate(vecs) if v is not None]
+        if valid:
+            M = np.stack([np.asarray(vecs.iloc[i], dtype=np.float64) for i in valid])
+            # centroids pre-normalized → argmax dot == argmax cosine; ties
+            # resolve to the smallest centroid index (np.argmax = first max)
+            cids = np.argmax(M @ CT, axis=1)
+            out.iloc[valid] = [int(c) for c in cids]
+        return out
+
+    return assign
+
+
+def ivf_assign_col(vec_col, cents: np.ndarray, use_udf: bool | None = None):
+    """Column: index of the nearest centroid by cosine (centroids arrive
+    pre-normalized from ivf_centroids, so argmax of the raw dot product).
+    Same JVM-literal vs Arrow-matmul split (and the same dim threshold) as
+    lsh_bucket_col; ties break to the smallest centroid index on both paths
+    (array_position returns the FIRST occurrence of the max). Null vectors
+    get a NULL centroid and drop out of probe filters."""
+    if use_udf is None:
+        use_udf = cents.shape[1] > LSH_UDF_DIM_THRESHOLD
+    if use_udf:
+        return _ivf_assign_udf(cents)(vec_col)
+    dots = F.array(
+        *[_dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    cid = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    return F.when(vec_col.isNotNull(), cid)
+
+
+def ivf_assignments(
+    embeddings: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    use_udf: bool | None = None, cents: np.ndarray | None = None,
+) -> DataFrame:
+    """(id, cid) inverted-list assignment for the whole corpus. At 100 TB
+    this is the table you MATERIALIZE partitioned/bucketed by cid — each
+    probe then prunes to n_probe partitions at scan time instead of
+    filtering a full pass."""
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    return embeddings.select(
+        F.col(id_col), ivf_assign_col(F.col(vec_col), cents, use_udf).alias("cid")
+    )
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame, probe_vec: list[float], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    use_udf: bool | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF: score only the vectors assigned to
+    the n_probe centroids nearest the probe. Recall is pytest-verified
+    against cosine_topk; n_probe = n_centroids degrades to exact."""
+    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    p = np.asarray(probe_vec, dtype=np.float64)
+    pn = np.linalg.norm(p)
+    cos = cents @ (p / pn if pn > 0 else p)
+    order = sorted(range(len(cos)), key=lambda j: (-cos[j], j))
+    probes = order[: n_probe]
+    cand = embeddings.withColumn(
+        "_cid", ivf_assign_col(F.col(vec_col), cents, use_udf)
+    ).filter(F.col("_cid").isin(probes))
+    return cosine_topk(cand, probe_vec, k, id_col, vec_col)
+
+
 def lsh_cosine_topk(
     embeddings: DataFrame, probe_vec: list[float], k: int = 10, bits: int = 6,
     seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",

@@ -117,6 +117,107 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals for training-data quality filtering
+    (Rae et al. 2021 §A1.1): per document —
+
+    - n_lines / dup_line_frac_e6 / dup_line_char_frac_e6: how much of the
+      document is literally repeated lines (boilerplate, navigation chrome,
+      chat-log echo). Lines are newline-split, trimmed, empties dropped.
+    - top_word_frac_e6 / top_2gram_frac_e6 / top_3gram_frac_e6: the fraction
+      of all n-grams occupied by the single most frequent n-gram (degenerate
+      generation loops, keyword stuffing). Words are whitespace-split of the
+      lowercased text (n-grams may span lines).
+
+    Plan shape: the line stats are ROW-LOCAL higher-order functions (zero
+    shuffle; the O(lines²) duplicate probe is bounded by the 10k-char doc
+    truncation this engine indexes, T15). The n-gram stats explode once into
+    (doc_id, n, gram) and aggregate — partial map-side combine, spillable,
+    the same shape at 100 TB; a row-local count-by-value would be O(words²)
+    per row which does NOT survive long documents.
+
+    All ratios are e6-scaled longs (cross-engine hash-stable, same
+    convention as quality_score)."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda l: F.length(l) > 0,
+    )
+    words = F.filter(F.split(F.lower(t), "[ \n]+"), lambda w: F.length(w) > 0)
+    base = docs.select("doc_id", lines.alias("_ls"), words.alias("_w"))
+
+    def grams(n: int):
+        w = F.col("_w")
+        if n == 1:
+            return w
+        parts = [F.slice(w, i + 1, F.size(w) - (n - 1)) for i in range(n)]
+        g = parts[0]
+        for p in parts[1:]:
+            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
+        return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
+
+    def tag(n: int):
+        # NOT a two-arg lambda with a default: F.transform hands a 2-arg
+        # callable (element, index) — a `lambda x, n=n:` would silently
+        # receive the array INDEX as n.
+        def f(x):
+            return F.struct(F.lit(n).alias("n"), x.alias("g"))
+
+        return f
+
+    tagged = F.flatten(F.array(*[F.transform(grams(n), tag(n)) for n in (1, 2, 3)]))
+    ex = base.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", "t.n", "t.g"
+    )
+    per_n = (
+        ex.groupBy("doc_id", "n", "g")
+        .count()
+        .groupBy("doc_id", "n")
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+    )
+    fr = per_n.select(
+        "doc_id", "n", F.round(F.col("mx") * 1e6 / F.col("tot")).cast("long").alias("f")
+    )
+    piv = fr.groupBy("doc_id").agg(
+        F.max(F.when(F.col("n") == 1, F.col("f"))).alias("top_word_frac_e6"),
+        F.max(F.when(F.col("n") == 2, F.col("f"))).alias("top_2gram_frac_e6"),
+        F.max(F.when(F.col("n") == 3, F.col("f"))).alias("top_3gram_frac_e6"),
+    )
+    dupchars = F.aggregate(
+        F.filter(
+            F.col("_ls"),
+            lambda l: F.size(F.filter(F.col("_ls"), lambda x: x == l)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, l: acc + F.length(l),
+    )
+    totchars = F.aggregate(
+        F.col("_ls"), F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    )
+    lstats = base.select(
+        "doc_id",
+        F.size("_ls").cast("long").alias("n_lines"),
+        F.round(
+            (F.size("_ls") - F.size(F.array_distinct("_ls")))
+            * 1e6
+            / F.greatest(F.size("_ls"), F.lit(1))
+        )
+        .cast("long")
+        .alias("dup_line_frac_e6"),
+        F.round(dupchars * 1e6 / F.greatest(totchars, F.lit(1)))
+        .cast("long")
+        .alias("dup_line_char_frac_e6"),
+    )
+    return (
+        lstats.join(piv, "doc_id", "left")
+        .fillna(0, ["top_word_frac_e6", "top_2gram_frac_e6", "top_3gram_frac_e6"])
+        .select(
+            "doc_id", "n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6",
+            "top_word_frac_e6", "top_2gram_frac_e6", "top_3gram_frac_e6",
+        )
+    )
+
+
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per doc (training-data token
     accounting)."""

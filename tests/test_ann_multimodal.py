@@ -196,3 +196,81 @@ def test_lsh_bucket_null_embedding_yields_null(spark):
     assert got[1] == (None, None) and got[3] == (None, None)
     for vid in (0, 2):
         assert got[vid][0] is not None and got[vid][0] == got[vid][1]
+
+
+# ----------------------------------------------------------------- IVF ANN
+
+
+@pytest.mark.spark
+def test_ivf_degrades_to_exact_when_probing_all_lists(spark, emb):
+    from similardocs_spark.operators.ann import cosine_topk, ivf_cosine_topk
+
+    probe = emb.collect()[7]["embedding"]
+    exact = [tuple(r) for r in cosine_topk(emb, probe, k=10).collect()]
+    full = [
+        tuple(r)
+        for r in ivf_cosine_topk(
+            emb, probe, k=10, n_centroids=8, n_probe=8
+        ).collect()
+    ]
+    assert full == exact
+
+
+@pytest.mark.spark
+def test_ivf_recall_and_self_match(spark, emb):
+    from similardocs_spark.operators.ann import cosine_topk, ivf_cosine_topk
+
+    probe = emb.collect()[5]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_cosine_topk(emb, probe, k=10, n_centroids=8, n_probe=3).collect()
+    ]
+    # the probe IS corpus vector 5: its own list is always among the probed
+    assert approx[0] == 5
+    assert len(set(exact) & set(approx)) >= 4
+
+
+@pytest.mark.spark
+def test_ivf_assign_udf_matches_jvm_path(spark, emb):
+    from similardocs_spark.operators.ann import ivf_assignments, ivf_centroids
+
+    cents = ivf_centroids(emb, n_centroids=8)
+    jvm = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assignments(emb, cents=cents, use_udf=False).collect()
+    }
+    udf = {
+        r["vec_id"]: r["cid"]
+        for r in ivf_assignments(emb, cents=cents, use_udf=True).collect()
+    }
+    assert jvm == udf
+    assert set(jvm.values()) <= set(range(8))
+
+
+@pytest.mark.spark
+def test_ivf_assign_null_embedding_yields_null(spark, emb):
+    from similardocs_spark.operators.ann import ivf_assignments, ivf_centroids
+
+    withnull = spark.createDataFrame(
+        [(900, None), (901, [1.0] * 16)], "vec_id long, embedding array<float>"
+    )
+    cents = ivf_centroids(emb, n_centroids=4)
+    for use_udf in (False, True):
+        got = {
+            r["vec_id"]: r["cid"]
+            for r in ivf_assignments(withnull, cents=cents, use_udf=use_udf).collect()
+        }
+        assert got[900] is None
+        assert got[901] is not None
+
+
+@pytest.mark.spark
+def test_ivf_centroids_deterministic_and_normalized(spark, emb):
+    from similardocs_spark.operators.ann import ivf_centroids
+
+    a = ivf_centroids(emb, n_centroids=8)
+    b = ivf_centroids(emb, n_centroids=8)
+    assert a.shape == (8, 16)
+    assert np.array_equal(a, b)
+    assert np.allclose(np.linalg.norm(a, axis=1), 1.0)

@@ -73,3 +73,58 @@ def test_textstats_plans_are_jvm_only(spark):
         fingerprint(docs)._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan
+
+
+@pytest.mark.spark
+def test_repetition_stats_values(spark):
+    """Hand-computed Gopher-style repetition signals, including the
+    F.transform two-arg-lambda pitfall regression (the n tag must be the
+    gram ORDER, not the array index)."""
+    from similardocs_spark.operators.textstats import repetition_stats
+
+    rows = [
+        # 4 non-empty lines ("a b" twice), dup chars 6/10; words a b c d a b x
+        (0, "a b\nc d\na b\n  \nx"),
+        (1, ""),
+        (2, None),
+        # words: the×3 cat sat → top word 3/5; top 2-gram "the the" 2/4;
+        # top 3-gram 1/3
+        (3, "the the the cat sat"),
+        (4, "z z z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: tuple(r)[1:] for r in repetition_stats(df).collect()}
+    assert got[0] == (4, 250000, 600000, 285714, 333333, 200000)
+    assert got[1] == (0, 0, 0, 0, 0, 0)
+    assert got[2] == (0, 0, 0, 0, 0, 0)
+    assert got[3] == (1, 0, 0, 600000, 500000, 333333)
+    # all three 'z' n-gram levels are a single repeated gram → 1e6 each
+    assert got[4] == (1, 0, 0, 1000000, 1000000, 1000000)
+
+
+@pytest.mark.spark
+def test_repetition_line_stats_are_row_local(spark):
+    """The line-stat subplan must stay shuffle-free (row-local HOFs): with
+    the n-gram columns projected away, no Exchange may survive."""
+    from pyspark.sql import functions as F
+
+    from similardocs_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame([(0, "a\nb\na")], "doc_id long, text string")
+    out = repetition_stats(df).select(
+        "doc_id", "n_lines", "dup_line_frac_e6", "dup_line_char_frac_e6"
+    )
+    # column pruning alone doesn't remove the gram join; recompute the
+    # row-local slice the way a caller who only wants line stats would
+    from similardocs_spark.operators import textstats
+
+    t = F.coalesce(F.col("text"), F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda x: F.trim(x)),
+        lambda l: F.length(l) > 0,
+    )
+    plan = df.select("doc_id", F.size(lines).alias("n_lines"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the full operator still returns correct line stats
+    row = out.collect()[0]
+    assert (row["n_lines"], row["dup_line_frac_e6"]) == (3, 333333)
