@@ -281,6 +281,103 @@ def run_level(args) -> None:
 
     measured("embedding_near_dup_pairs", run_embed)
 
+    # ---- repetition signals over the full corpus (summary agg — the
+    # per-doc frame is the product; the agg bounds the collect)
+    from similardocs_spark.operators import textstats
+
+    def run_repetition():
+        row = (
+            textstats.repetition_stats(docs)
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.round(F.avg("top_2gram_frac_e6")).cast("long").alias(
+                    "mean_top_2gram_frac_e6"
+                ),
+                F.round(F.avg("top_word_frac_e6")).cast("long").alias(
+                    "mean_top_word_frac_e6"
+                ),
+                F.max("n_lines").alias("max_n_lines"),
+            )
+            .collect()[0]
+        )
+        return row.asDict()
+
+    measured("repetition_stats", run_repetition)
+
+    # ---- IVF ANN: materialize the inverted-list table partitioned by cid
+    # (the 100-TB serving shape: each probe prunes to n_probe partitions at
+    # scan time), then compare probe latency + recall vs the brute-force
+    # full scan on the same session
+    IVF_NC, IVF_NPROBE, IVF_K = 256, 16, 10
+    ivf_state: dict = {}
+
+    def run_ivf_build():
+        cents = ann.ivf_centroids(emb, n_centroids=IVF_NC)
+        ivf_state["cents"] = cents
+        assigned = emb.withColumn(
+            "cid", ann.ivf_assign_col(F.col("embedding"), cents)
+        )
+        assigned.write.mode("overwrite").partitionBy("cid").parquet(
+            droot + "/ivf"
+        )
+        return {"n_centroids": IVF_NC, "n_lists_written": IVF_NC}
+
+    measured("ivf_assign_build", run_ivf_build)
+
+    def _probe_vec():
+        # identical to make_embeddings' vector 0: the probe is a corpus
+        # member whose planted near-dup (vec_id = n_base) also exists —
+        # both must surface in any sane probe
+        import numpy as np
+
+        return [float(x) for x in np.random.default_rng(0).standard_normal(DIM)]
+
+    def _ivf_lists(n_probe: int):
+        import numpy as np
+
+        cents = ivf_state["cents"]
+        p = np.asarray(_probe_vec(), dtype=np.float64)
+        cos = cents @ (p / np.linalg.norm(p))
+        probes = sorted(range(len(cos)), key=lambda j: (-cos[j], j))[:n_probe]
+        return spark.read.parquet(droot + "/ivf").filter(
+            F.col("cid").isin(probes)
+        )
+
+    def make_ivf_probe(n_probe: int):
+        def run():
+            hits = ann.cosine_topk(
+                _ivf_lists(n_probe), _probe_vec(), k=IVF_K
+            ).collect()
+            ivf_state[f"ids_{n_probe}"] = [r["vec_id"] for r in hits]
+            return {"n_probe": n_probe, "top1": ivf_state[f"ids_{n_probe}"][0]}
+
+        return run
+
+    for np_level in (IVF_NPROBE, 4 * IVF_NPROBE):
+        name = f"ivf_probe_topk_np{np_level}"
+        measured(name, make_ivf_probe(np_level))
+        if name in results:  # candidate count OUTSIDE the timed window
+            results[name]["n_candidates"] = _ivf_lists(np_level).count()
+
+    def run_full_scan():
+        hits = ann.cosine_topk(emb, _probe_vec(), k=IVF_K).collect()
+        exact_ids = [r["vec_id"] for r in hits]
+        out = {"top1": exact_ids[0]}
+        for np_level in (IVF_NPROBE, 4 * IVF_NPROBE):
+            ids = ivf_state.get(f"ids_{np_level}")
+            if ids is not None:
+                out[f"ivf_recall_at_{IVF_K}_np{np_level}"] = round(
+                    len(set(exact_ids) & set(ids)) / IVF_K, 2
+                )
+        # isotropic random vectors are IVF's WORST case (no cluster
+        # structure: true neighbors scatter uniformly over lists) — the
+        # recall numbers here are a floor, not the clustered-data figure;
+        # the self vector and its planted near-dup must always be found
+        assert exact_ids[0] == 0
+        return out
+
+    measured("cosine_full_scan_baseline", run_full_scan)
+
     out = {
         "cores": args.cores,
         "n_docs": n_docs,
