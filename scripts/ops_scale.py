@@ -148,24 +148,36 @@ def run_level(args) -> None:
 
     from similardocs_spark.operators import ann, dedup
 
+    results: dict[str, dict] = {}
+    only = set(args.ops.split(",")) if args.ops else None
+
+    _DOC_OPS = {
+        "exact_dedup_stats", "minhash_lsh_pairs", "minhash_oversized_audit",
+        "deduplicate", "simhash_pairs", "simhash_oversized_audit",
+        "simhash64_pairs", "simhash64_oversized_audit", "repetition_stats",
+    }
+    need_docs = only is None or bool(only & _DOC_OPS)
+    need_emb = only is None or bool(only - _DOC_OPS)
+
     t0 = time.time()
-    docs = make_docs(spark, args.convs)
     # materialize to parquet: every operator reads the same committed input
     # (and the Zipf generator lineage is not re-run per operator)
     import tempfile
 
     droot = tempfile.mkdtemp(prefix="ops_docs_")
-    docs.write.mode("overwrite").parquet(droot + "/docs")
-    docs = spark.read.parquet(droot + "/docs")
-    n_docs = docs.count()
-    emb = make_embeddings(spark, args.convs)
-    emb.write.mode("overwrite").parquet(droot + "/emb")
-    emb = spark.read.parquet(droot + "/emb")
-    n_emb = emb.count()
+    docs = n_docs = None
+    if need_docs:
+        docs = make_docs(spark, args.convs)
+        docs.write.mode("overwrite").parquet(droot + "/docs")
+        docs = spark.read.parquet(droot + "/docs")
+        n_docs = docs.count()
+    emb = n_emb = None
+    if need_emb:
+        emb = make_embeddings(spark, args.vecs or args.convs)
+        emb.write.mode("overwrite").parquet(droot + "/emb")
+        emb = spark.read.parquet(droot + "/emb")
+        n_emb = emb.count()
     gen_sec = round(time.time() - t0, 1)
-
-    results: dict[str, dict] = {}
-    only = set(args.ops.split(",")) if args.ops else None
 
     def measured(name: str, fn):
         if only is not None and name not in only:
@@ -537,6 +549,9 @@ def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--cores", type=int, default=32)
     p.add_argument("--convs", type=int, default=300_000)
+    p.add_argument("--vecs", type=int, default=None,
+                   help="embedding count (default: --convs); lets the IVF "
+                        "level scale vectors past the doc corpus")
     p.add_argument("--merge", nargs="*", default=None)
     p.add_argument("--ops", default=None,
                    help="comma-separated op names to run (default: all)")

@@ -744,6 +744,58 @@ GROUP BY d.doc_id, l.n_lines, l.dup_line_frac_e6, l.dup_line_char_frac_e6
 """
 
 
+# ------------------------------------------------- 18c. token-budget histogram
+
+
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.token_histogram(docs)
+
+
+SQL_TOKEN_HISTOGRAM = f"""
+WITH tc AS (SELECT * FROM ({SQL_TOKEN_COUNTS}) t)
+SELECT CAST(length(bin(bpe_tokens + 1)) - 1 AS BIGINT) AS bucket,
+       count(*) AS n_docs,
+       CAST(sum(bpe_tokens) AS BIGINT) AS total_bpe_tokens
+FROM tc GROUP BY bucket ORDER BY bucket
+"""
+
+
+# -------------------------------------------------- 18d. quality filter gate
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.filter_documents(docs)
+
+
+def _sql_quality_filter() -> str:
+    # thresholds mirror textstats.filter_documents defaults (e6-scaled)
+    return f"""
+WITH q AS (SELECT * FROM ({_sql_quality()}) t),
+r AS (SELECT * FROM ({SQL_REPETITION}) t)
+SELECT q.doc_id,
+  (CASE
+     WHEN q.n_words < 5 THEN 'too_few_words'
+     WHEN q.n_words > 100000 THEN 'too_many_words'
+     WHEN r.top_word_frac_e6 > 250000 THEN 'top_word_repetition'
+     WHEN r.top_2gram_frac_e6 > 200000 THEN 'top_2gram_repetition'
+     WHEN r.dup_line_frac_e6 > 300000 THEN 'dup_lines'
+   END) IS NULL AS keep,
+  CASE
+    WHEN q.n_words < 5 THEN 'too_few_words'
+    WHEN q.n_words > 100000 THEN 'too_many_words'
+    WHEN r.top_word_frac_e6 > 250000 THEN 'top_word_repetition'
+    WHEN r.top_2gram_frac_e6 > 200000 THEN 'top_2gram_repetition'
+    WHEN r.dup_line_frac_e6 > 300000 THEN 'dup_lines'
+  END AS reason
+FROM q JOIN r ON q.doc_id = r.doc_id
+"""
+
+
+SQL_QUALITY_FILTER = _sql_quality_filter()
+
+
 # ------------------------------------------------------------ 19. fingerprint
 
 
@@ -849,6 +901,8 @@ OPS_QUERIES = {
     "quality": q_quality,
     "token_counts": q_token_counts,
     "repetition": q_repetition,
+    "token_histogram": q_token_histogram,
+    "quality_filter": q_quality_filter,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
 }
@@ -872,6 +926,8 @@ OPS_SQL = {
     "quality": SQL_QUALITY,
     "token_counts": SQL_TOKEN_COUNTS,
     "repetition": SQL_REPETITION,
+    "token_histogram": SQL_TOKEN_HISTOGRAM,
+    "quality_filter": SQL_QUALITY_FILTER,
     "fingerprint": SQL_FINGERPRINT,
     "media_features": SQL_MEDIA_FEATURES,
 }

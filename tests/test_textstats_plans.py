@@ -128,3 +128,43 @@ def test_repetition_line_stats_are_row_local(spark):
     # and the full operator still returns correct line stats
     row = out.collect()[0]
     assert (row["n_lines"], row["dup_line_frac_e6"]) == (3, 333333)
+
+
+@pytest.mark.spark
+def test_token_histogram_buckets(spark):
+    from similardocs_spark.operators.textstats import token_histogram
+
+    # 'a' = 1 bpe token → bucket floor(log2(2)) = 1; 7 words → bucket 3;
+    # empty text → 0 tokens → bucket 0
+    df = spark.createDataFrame(
+        [(0, "a"), (1, "a b c d e f g"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["bucket"]: (r["n_docs"], r["total_bpe_tokens"]) for r in token_histogram(df).collect()}
+    assert got == {0: (1, 0), 1: (1, 1), 3: (1, 7)}
+
+
+@pytest.mark.spark
+def test_filter_documents_reasons_in_rule_order(spark):
+    from similardocs_spark.operators.textstats import filter_documents
+
+    df = spark.createDataFrame(
+        [
+            (0, "one two three four five six seven"),  # clean
+            (1, "hi"),                                  # too few words
+            (2, "spam spam spam spam spam spam"),       # top word AND 2gram: first rule wins
+            (3, "x y\nx y\nx y\nz w"),                  # dup lines (word fracs below caps)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in filter_documents(
+            df, max_top_word_frac=0.5, max_top_2gram_frac=0.5,
+            max_dup_line_frac=0.4,
+        ).collect()
+    }
+    assert got[0] == (True, None)
+    assert got[1] == (False, "too_few_words")
+    assert got[2] == (False, "top_word_repetition")
+    assert got[3] == (False, "dup_lines")
