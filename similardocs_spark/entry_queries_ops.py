@@ -462,14 +462,36 @@ def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_IVF_ASSIGN = f"""
 WITH {_sql_ivf_ctes()}
-SELECT vec_id, cid FROM assign
+SELECT e.vec_id, a.cid
+FROM embeddings e LEFT JOIN assign a USING (vec_id)
 """
+# LEFT JOIN back against the corpus: a NULL embedding never reaches the
+# assign CTE (UNNEST over a NULL-length series yields no rows), but the
+# Spark side (ann.ivf_assignments) emits (vec_id, NULL cid) for it — the
+# oracle must match row-for-row if a corpus ever carries null vectors.
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.ivf_cosine_topk(
         emb, _probe_vec(sf_dir), k=10, n_centroids=_IVF_NC, n_probe=_IVF_NPROBE
+    )
+
+
+def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED serving path (ann.ivf_build → ann.ivf_probe_topk):
+    builds the cid-partitioned index in a scratch dir, then probes it with a
+    partition-pruned read. Shares ivf_topk's oracle SQL — the two library
+    paths are semantically identical by construction, and this pair pins
+    that through the driver gate, not just pytest."""
+    import tempfile
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = tempfile.mkdtemp(prefix="ivf_probe_")
+    cents = ann.ivf_build(emb, index_dir, n_centroids=_IVF_NC)
+    return ann.ivf_probe_topk(
+        spark, index_dir, _probe_vec(sf_dir), k=10, n_probe=_IVF_NPROBE,
+        cents=cents,
     )
 
 
@@ -895,6 +917,7 @@ OPS_QUERIES = {
     "cosine_topk": q_cosine_topk,
     "ivf_assign": q_ivf_assign,
     "ivf_topk": q_ivf_topk,
+    "ivf_probe": q_ivf_probe,
     "embed_near_dups": q_embed_near_dups,
     "ngram_text": q_ngram_text,
     "langid": q_langid,
@@ -920,6 +943,7 @@ OPS_SQL = {
     "cosine_topk": SQL_COSINE_TOPK,
     "ivf_assign": SQL_IVF_ASSIGN,
     "ivf_topk": SQL_IVF_TOPK,
+    "ivf_probe": SQL_IVF_TOPK,
     "embed_near_dups": SQL_EMBED_NEAR_DUPS,
     "ngram_text": SQL_NGRAM_TEXT,
     "langid": SQL_LANGID,

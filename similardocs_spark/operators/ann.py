@@ -49,6 +49,23 @@ def cosine_topk(
     )
 
 
+def infer_dim(embeddings: DataFrame, vec_col: str = "embedding") -> int:
+    """Embedding dimensionality from the data: one bounded probe job over
+    the first NON-NULL vector (a null first row must not TypeError — null
+    embeddings are tolerated everywhere else as NULL buckets). Callers on a
+    per-tick path should pass `dim` explicitly instead; this probe is one
+    extra Spark job at plan-build time."""
+    row = (
+        embeddings.select(vec_col).filter(F.col(vec_col).isNotNull()).first()
+    )
+    if row is None:
+        raise ValueError(
+            f"cannot infer embedding dim: no non-null '{vec_col}' rows "
+            "(empty batch or all-null vectors) — pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((bits, dim))
@@ -164,7 +181,7 @@ def embedding_near_dup_pairs(
     Pass `dim` (the embedding dimensionality) to skip the one-row probe job
     that otherwise learns it from the data at plan-build time."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = infer_dim(embeddings, vec_col)
     base = embeddings.select(F.col(id_col), F.col(vec_col))
     # candidate generation carries IDS ONLY through the bucket join, the
     # cross-table union and the pair dedup — full vectors would otherwise be
@@ -317,25 +334,186 @@ def ivf_assignments(
     )
 
 
-def ivf_cosine_topk(
-    embeddings: DataFrame, probe_vec: list[float], k: int = 10,
-    n_centroids: int = 16, n_probe: int = 4,
-    id_col: str = "vec_id", vec_col: str = "embedding",
-    use_udf: bool | None = None,
-) -> DataFrame:
-    """Approximate cosine top-k via IVF: score only the vectors assigned to
-    the n_probe centroids nearest the probe. Recall is pytest-verified
-    against cosine_topk; n_probe = n_centroids degrades to exact."""
-    cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+def nearest_centroid_ids(
+    cents: np.ndarray, probe_vec: list[float], n_probe: int
+) -> list[int]:
+    """The n_probe centroid indices nearest the probe by cosine (centroids
+    arrive pre-normalized); ties break to the smaller index — the same order
+    ivf_assign_col uses, so a vector's own list is always probed first."""
     p = np.asarray(probe_vec, dtype=np.float64)
     pn = np.linalg.norm(p)
     cos = cents @ (p / pn if pn > 0 else p)
     order = sorted(range(len(cos)), key=lambda j: (-cos[j], j))
-    probes = order[: n_probe]
+    return order[:n_probe]
+
+
+def ivf_cosine_topk(
+    embeddings: DataFrame, probe_vec: list[float], k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    use_udf: bool | None = None, cents: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF WITHOUT a materialized index: every
+    probe assigns the whole corpus a centroid and filters — one full pass.
+    This is the small-corpus / oracle-replay path; a serving deployment
+    materializes the assignment once with `ivf_build` and probes it with
+    `ivf_probe_topk`, which prunes the scan to n_probe partitions (measured
+    4.7× vs this full pass at 3.06M vectors — BENCH_OPS_SCALING.json).
+    Recall is pytest-verified against cosine_topk; n_probe = n_centroids
+    degrades to exact."""
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    probes = nearest_centroid_ids(cents, probe_vec, n_probe)
     cand = embeddings.withColumn(
         "_cid", ivf_assign_col(F.col(vec_col), cents, use_udf)
     ).filter(F.col("_cid").isin(probes))
     return cosine_topk(cand, probe_vec, k, id_col, vec_col)
+
+
+def ivf_build(
+    embeddings: DataFrame, index_dir: str, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    use_udf: bool | None = None, cents: np.ndarray | None = None,
+) -> np.ndarray:
+    """Materialize the IVF index: ONE assignment pass over the corpus,
+    written partitioned by inverted list —
+
+        index_dir/lists/cid=<j>/   (id, vector) rows of list j
+        index_dir/centroids/       (cid, centroid float64 array)
+
+    so every subsequent probe is a PARTITION-PRUNED read of n_probe
+    directories instead of a full corpus pass (the 100-TB serving shape;
+    the scripts/ops_scale.py campaign measured 2.4 s probe vs 11.2 s full
+    scan at 3.06M vectors). Null-embedding rows land in the cid=NULL
+    partition and are never probed. Writes route through the storage
+    substrate shim (Iceberg when available, committed parquet otherwise).
+    Returns the centroid matrix (also persisted for `ivf_probe_topk`)."""
+    from ..index.catalog import get_io
+
+    spark = embeddings.sparkSession
+    io = get_io(spark, index_dir)
+    if cents is None:
+        cents = ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    assigned = embeddings.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_assign_col(F.col(vec_col), cents, use_udf).alias("cid"),
+    )
+    io.overwrite_partitioned(assigned, f"{index_dir}/lists", col="cid")
+    cent_rows = [(j, [float(x) for x in c]) for j, c in enumerate(cents)]
+    from ..util import local_df
+
+    io.overwrite(
+        local_df(spark, cent_rows, "cid int, centroid array<double>"),
+        f"{index_dir}/centroids",
+    )
+    return cents
+
+
+def ivf_load_centroids(spark, index_dir: str) -> np.ndarray:
+    """The (n_centroids, dim) matrix persisted by ivf_build — bounded
+    model-parameter collect, same contract as ivf_centroids."""
+    from ..index.catalog import get_io
+
+    io = get_io(spark, index_dir)
+    rows = (
+        io.read(spark, f"{index_dir}/centroids")
+        .orderBy("cid")
+        .collect()
+    )
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def ivf_probe_topk(
+    spark, index_dir: str, probe_vec: list[float], k: int = 10,
+    n_probe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+    cents: np.ndarray | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k against a MATERIALIZED `ivf_build` index:
+    ranks the stored centroids driver-side (model-sized matmul), then scans
+    ONLY the n_probe nearest list partitions — `cid isin(...)` on the
+    partition column is pruned at scan time, so probe cost follows list
+    size, not corpus size. Pass `cents` (from ivf_build/ivf_load_centroids)
+    to skip the centroid-table read on a hot serving path. Equivalent
+    results to ivf_cosine_topk over the same corpus + centroids
+    (pytest-pinned)."""
+    from ..index.catalog import get_io
+
+    io = get_io(spark, index_dir)
+    if cents is None:
+        cents = ivf_load_centroids(spark, index_dir)
+    probes = nearest_centroid_ids(cents, probe_vec, n_probe)
+    cand = io.read(spark, f"{index_dir}/lists").filter(
+        F.col("cid").isin(probes)
+    )
+    return cosine_topk(cand, probe_vec, k, id_col, vec_col)
+
+
+def ivf_centroids_kmeans(
+    embeddings: DataFrame, n_centroids: int = 16, n_iter: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    use_udf: bool | None = None, init: np.ndarray | None = None,
+) -> np.ndarray:
+    """Lloyd-refined coarse quantizer: k-means over the corpus, seeded from
+    the deterministic hash-sample (`ivf_centroids` — sampled-corpus seeding
+    is the standard init). Each iteration is ONE corpus pass: a mapInPandas
+    kernel emits per-Arrow-batch PARTIAL sums (cid, sum_vec, count) — at
+    most n_centroids rows per batch, Arrow-vectorized numpy adds — and the
+    driver combines the model-sized partials (n_centroids × dim, NOT data),
+    renormalizes, and iterates. No per-pair shuffle, no groupBy of vectors.
+    Empty clusters keep their previous centroid. Deterministic for a fixed
+    input partitioning (float-sum order within a partition is row order).
+
+    Use when the corpus is clusterable and recall at low n_probe matters
+    more than oracle replay: hash-sampled centroids are cross-engine
+    reproducible (the DuckDB oracle replays them), k-means centroids are
+    not — which is why this is opt-in, not the ivf_build default."""
+    import pandas as pd_  # local alias; pandas is module-level for UDFs
+
+    spark = embeddings.sparkSession
+    cents = (
+        init
+        if init is not None
+        else ivf_centroids(embeddings, n_centroids, id_col, vec_col)
+    )
+    nc, dim = cents.shape
+    vecs = embeddings.select(F.col(vec_col).alias("v")).filter(
+        F.col("v").isNotNull()
+    )
+    out_schema = "cid int, psum array<double>, cnt long"
+    for _ in range(n_iter):
+        CT = np.ascontiguousarray(cents.T)
+
+        def partials(batches, CT=CT, nc=nc):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                M = np.stack(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+                )
+                cids = np.argmax(M @ CT, axis=1)
+                rows = []
+                for c in np.unique(cids):
+                    sel = M[cids == c]
+                    rows.append(
+                        (int(c), sel.sum(axis=0).tolist(), int(len(sel)))
+                    )
+                yield pd_.DataFrame(
+                    rows, columns=["cid", "psum", "cnt"]
+                )
+
+        collected = vecs.mapInPandas(partials, out_schema).collect()
+        sums = np.zeros((nc, dim), dtype=np.float64)
+        cnts = np.zeros(nc, dtype=np.int64)
+        for r in sorted(collected, key=lambda r: r["cid"]):
+            sums[r["cid"]] += np.asarray(r["psum"], dtype=np.float64)
+            cnts[r["cid"]] += r["cnt"]
+        new = cents.copy()
+        nz = cnts > 0
+        new[nz] = sums[nz] / cnts[nz, None]
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        cents = new / norms
+    return cents
 
 
 def lsh_cosine_topk(

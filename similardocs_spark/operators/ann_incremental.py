@@ -23,7 +23,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .ann import _dot, _norm, hyperplanes, lsh_bucket_col
+from .ann import _dot, _norm, hyperplanes, infer_dim, lsh_bucket_col
+
+
+def _resolve_dim(
+    dim: int | None, corpus_state: DataFrame | None, batch: DataFrame, vec_col: str
+) -> int:
+    """Per-tick dim resolution WITHOUT a per-tick probe job: explicit `dim`
+    wins; else the LSH config stamped into the corpus state's b0 field
+    metadata (state_for writes it; parquet persists it) — zero extra jobs;
+    only a metadata-less state (or a bootstrap with no state) falls back to
+    one bounded null-safe probe of the batch."""
+    if dim is not None:
+        return dim
+    if corpus_state is not None and "b0" in corpus_state.columns:
+        meta = corpus_state.schema["b0"].metadata
+        if meta and meta.get("dim") is not None:
+            return int(meta["dim"])
+    return infer_dim(batch, vec_col)
 
 
 def state_for(
@@ -39,7 +56,7 @@ def state_for(
     caller appends to its corpus state after accepting the batch. Bucket
     columns carry the LSH config as field metadata."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        dim = infer_dim(embeddings, vec_col)
     cols = [
         F.col(id_col),
         F.col(vec_col),
@@ -94,8 +111,7 @@ def pairs_against(
     shuffle, per-table combined-bucket cap, exact cosine verification of
     every emitted pair. `new_state` lets a caller reuse `state_for`
     output computed for the append."""
-    if dim is None:
-        dim = len(new_embeddings.select(vec_col).first()[0])
+    dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
     expect = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
     if new_state is None:
         new_state = state_for(
@@ -183,8 +199,7 @@ def accept_batch(
     Rejection is id-order-agnostic and edge-wise, identical to
     dedup_incremental.accept_batch: a corpus match drops the new side,
     an in-batch pair drops the higher id."""
-    if dim is None:
-        dim = len(new_embeddings.select(vec_col).first()[0])
+    dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
     new_state = state_for(
         new_embeddings, dim, bits, tables, seed, id_col, vec_col
     )
@@ -239,8 +254,7 @@ def oversized_buckets_against(
 ) -> DataFrame:
     """Audit: combined (corpus ∪ new) buckets pairs_against would skip,
     as (table, bucket, bucket_size) rows — no silent caps."""
-    if dim is None:
-        dim = len(new_embeddings.select(vec_col).first()[0])
+    dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
     new_state = state_for(
         new_embeddings, dim, bits, tables, seed, id_col, vec_col
     )

@@ -202,8 +202,10 @@ class ProfileStore:
         writes for an N-profile import). Same per-row semantics as
         add_profile — unchanged content keeps the live row untouched, changed
         content resets update_time to 0 preserving creation_time, new ids get
-        creation_time=now_ms — expressed as one full-outer broadcast join
-        between the live table and an Arrow LocalRelation of the entries; no
+        creation_time=now_ms — expressed as one full-outer join between the
+        live table and an Arrow LocalRelation of the entries (full outer
+        cannot use a broadcast-hash build side, so no broadcast hint: Spark
+        would silently ignore it and sort-merge anyway); no
         driver-side read of the live table at all. Later duplicate ids within
         `entries` win (dict-last semantics, matching sequential add_profile
         calls). Returns the number of entries applied (deduplicated)."""
@@ -220,7 +222,7 @@ class ProfileStore:
             "id string, _i_user string, _i_name string, _i_content string",
         )
         live = self._read()
-        merged = live.join(F.broadcast(imp), "id", "full_outer")
+        merged = live.join(imp, "id", "full_outer")
         fresh = F.col("_i_content").isNotNull() & (
             F.col("prof_content").isNull()
             | (F.col("prof_content") != F.col("_i_content"))
