@@ -69,64 +69,12 @@ def _validate_sig(sig: DataFrame, n_hashes: int) -> None:
         )
 
 
-def pairs_against(
-    new_docs: DataFrame,
-    corpus_sig: DataFrame,
-    text_col: str = "text",
-    max_bucket: int = MAX_BUCKET,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    estimate_jaccard: bool = False,
-    min_jaccard: float | None = None,
-    new_sig: DataFrame | None = None,
-) -> DataFrame:
-    """Candidate near-dup pairs with ≥1 side in the new batch.
-
-    Output: (doc_a, doc_b[, jaccard_est]) with doc_a < doc_b; both
-    new×new and new×corpus pairs are produced, corpus×corpus never is
-    (those documents were already adjudicated when accepted). doc_id
-    spaces must be disjoint between corpus and batch — the caller's id
-    allocator owns that invariant (same contract as index ingestion).
-
-    Scale shape: the corpus side is a PROJECTION of the stored signature
-    table into band rows — no corpus text is read, no signature is
-    recomputed; per-tick cost is O(batch) signature work plus the banded
-    join against corpus band rows. `new_sig` lets a caller that already
-    ran `signatures_for` on the batch (to append state) reuse it instead
-    of recomputing.
-
-    `estimate_jaccard` / `min_jaccard` behave as in minhash_lsh_pairs:
-    the signature-agreement estimator over the union signature table.
-    """
-    if new_sig is None:
-        new_sig = signatures_for(new_docs, text_col, n_hashes)
-    _validate_sig(corpus_sig, n_hashes)
-    _validate_sig(new_sig, n_hashes)
-    want_est = estimate_jaccard or min_jaccard is not None
-
-    keep = ["doc_id", *[f"mh{i}" for i in range(n_hashes)]]
-    sig = (
-        corpus_sig.select(*keep)
-        .withColumn("is_new", F.lit(False))
-        .unionByName(new_sig.select(*keep).withColumn("is_new", F.lit(True)))
-    )
-    if want_est:
-        # sig feeds band rows + both estimate joins — persist the compact
-        # signature union so nothing runs twice (see minhash_lsh_pairs)
-        sig = sig.persist()
-
-    bands = _band_buckets(sig, n_hashes, n_bands).join(
-        sig.select("doc_id", "is_new"), "doc_id"
-    )
-    capped = (
-        bands.withColumn(
-            "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
-        )
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
+def _pairs_from_bands(capped: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) with doc_a < doc_b and ≥1 new side, from capped
+    (doc_id, band, key, is_new) band rows — the shared core of both
+    candidate strategies."""
     a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -139,8 +87,16 @@ def pairs_against(
         )
         .distinct()
     )
-    if not want_est:
-        return pairs
+
+
+def _attach_estimate(
+    pairs: DataFrame,
+    sig: DataFrame,
+    n_hashes: int,
+    min_jaccard: float | None,
+) -> DataFrame:
+    """jaccard_est = signature-agreement fraction, joined onto the bounded
+    pair set from `sig` (which must cover every pair member)."""
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(n_hashes)],
@@ -162,6 +118,142 @@ def pairs_against(
     if min_jaccard is not None:
         est = est.filter(F.col("jaccard_est") >= min_jaccard)
     return est
+
+
+def pairs_against(
+    new_docs: DataFrame,
+    corpus_sig: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = MAX_BUCKET,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    estimate_jaccard: bool = False,
+    min_jaccard: float | None = None,
+    new_sig: DataFrame | None = None,
+    broadcast_batch: bool = True,
+    corpus_bands: DataFrame | None = None,
+    corpus_counts: DataFrame | None = None,
+) -> DataFrame:
+    """Candidate near-dup pairs with ≥1 side in the new batch.
+
+    Output: (doc_a, doc_b[, jaccard_est]) with doc_a < doc_b; both
+    new×new and new×corpus pairs are produced, corpus×corpus never is
+    (those documents were already adjudicated when accepted). doc_id
+    spaces must be disjoint between corpus and batch — the caller's id
+    allocator owns that invariant (same contract as index ingestion).
+
+    Scale shape (`broadcast_batch=True`, the default): a tick SHUFFLES
+    O(batch + hits), never O(corpus). The batch's touched (band, key) set
+    is broadcast and the corpus band rows are left-semi-joined against it
+    — a broadcast-hash join, so the corpus side is STREAMED map-side (one
+    columnar scan, zero corpus shuffle); only rows in buckets the batch
+    touches ("hits") flow on. The combined-bucket cap is then a window
+    count over the bounded hits ∪ batch set — identical pair semantics to
+    the corpus-wide window, because untouched buckets can produce no pair
+    with a new side. The round-5 shape (window over corpus ∪ batch —
+    per-tick shuffle proportional to corpus size) is kept under
+    `broadcast_batch=False` for batches so large the touched-key
+    broadcast would not fit the driver.
+
+    `corpus_bands` takes PRE-BANDED state rows (band, key, doc_id) —
+    e.g. BandedDedupState, which persists banding once per accepted doc —
+    skipping the per-tick re-banding projection; `corpus_counts` takes
+    materialized (band, key, cnt) corpus bucket sizes, used to pre-drop
+    buckets that can never pass the cap BEFORE their rows stream through
+    the semi join (cnt ≥ max_bucket ⇒ combined > max_bucket). Both are
+    derived from `corpus_sig` when omitted. `new_sig` lets a caller that
+    already ran `signatures_for` on the batch (to append state) reuse it.
+
+    `estimate_jaccard` / `min_jaccard` behave as in minhash_lsh_pairs:
+    the signature-agreement estimator; in broadcast mode the corpus
+    signatures for it are fetched by a second broadcast semi-join on the
+    bounded pair-member ids (again no corpus shuffle).
+    """
+    if new_sig is None:
+        new_sig = signatures_for(new_docs, text_col, n_hashes)
+    _validate_sig(corpus_sig, n_hashes)
+    _validate_sig(new_sig, n_hashes)
+    want_est = estimate_jaccard or min_jaccard is not None
+    keep = ["doc_id", *[f"mh{i}" for i in range(n_hashes)]]
+
+    if not broadcast_batch:
+        sig = (
+            corpus_sig.select(*keep)
+            .withColumn("is_new", F.lit(False))
+            .unionByName(
+                new_sig.select(*keep).withColumn("is_new", F.lit(True))
+            )
+        )
+        if want_est:
+            # sig feeds band rows + both estimate joins — persist the compact
+            # signature union so nothing runs twice (see minhash_lsh_pairs)
+            sig = sig.persist()
+        bands = _band_buckets(sig, n_hashes, n_bands).join(
+            sig.select("doc_id", "is_new"), "doc_id"
+        )
+        capped = (
+            bands.withColumn(
+                "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+            )
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        pairs = _pairs_from_bands(capped)
+        if not want_est:
+            return pairs
+        return _attach_estimate(pairs, sig, n_hashes, min_jaccard)
+
+    new_bands = _band_buckets(new_sig, n_hashes, n_bands)
+    if corpus_bands is None:
+        corpus_bands = _band_buckets(
+            corpus_sig.select(*keep), n_hashes, n_bands
+        )
+    if corpus_counts is not None:
+        # buckets whose CORPUS size alone reaches the cap can never pass the
+        # combined cap once the batch adds ≥1 row — drop them from both
+        # sides up front so a mega-hot boilerplate bucket's rows never even
+        # stream through the semi join (counts are model-of-the-state-sized,
+        # the filter output is bounded by hot buckets — broadcast-safe)
+        hot = corpus_counts.filter(F.col("cnt") >= max_bucket).select(
+            "band", "key"
+        )
+        new_bands = new_bands.join(
+            F.broadcast(hot), ["band", "key"], "left_anti"
+        )
+    touched = new_bands.select("band", "key").distinct()
+    hits = corpus_bands.select("band", "key", "doc_id").join(
+        F.broadcast(touched), ["band", "key"], "left_semi"
+    )
+    both = new_bands.withColumn("is_new", F.lit(True)).unionByName(
+        hits.withColumn("is_new", F.lit(False))
+    )
+    if want_est:
+        # `both` feeds the window+pair subtree AND the pair-member id
+        # broadcast below; bounded (batch bands + hits), so persist rather
+        # than re-streaming the corpus scan
+        both = both.persist()
+    capped = (
+        both.withColumn(
+            "_bsz", F.count("*").over(Window.partitionBy("band", "key"))
+        )
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+    pairs = _pairs_from_bands(capped)
+    if not want_est:
+        return pairs
+    pairs = pairs.persist()  # feeds member-id broadcast + estimate join
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sig_small = (
+        corpus_sig.select(*keep)
+        .join(F.broadcast(members), "doc_id", "left_semi")
+        .unionByName(new_sig.select(*keep))
+    )
+    return _attach_estimate(pairs, sig_small, n_hashes, min_jaccard)
 
 
 def oversized_buckets_against(
@@ -197,6 +289,9 @@ def accept_batch(
     max_bucket: int = MAX_BUCKET,
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
+    broadcast_batch: bool = True,
+    corpus_bands: DataFrame | None = None,
+    corpus_counts: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest tick: returns (accepted_docs, pairs, new_state_rows).
 
@@ -223,6 +318,9 @@ def accept_batch(
         n_bands=n_bands,
         min_jaccard=min_jaccard,
         new_sig=new_sig,
+        broadcast_batch=broadcast_batch,
+        corpus_bands=corpus_bands,
+        corpus_counts=corpus_counts,
     )
     new_ids = new_sig.select("doc_id")
     flagged = pairs.join(
