@@ -5,8 +5,11 @@ embedding modality.
 State is the ACCEPTED embeddings enriched with their LSH artifacts —
 per-table hyperplane buckets (b0..b{tables-1}) and the vector norm —
 so per ingest tick the corpus side is read as-is: no re-projection
-(the matmul bucket UDF runs over the new batch only) and no norm
-recompute. Unlike the text case the vectors themselves must live in
+(the matmul bucket UDF runs over the new batch only), no norm
+recompute, and (broadcast-batch strategy, the default) no corpus
+shuffle — the state is STREAMED through broadcast semi-joins on the
+batch's touched buckets and on the bounded pair-member ids, so a tick
+shuffles O(batch + hits) rows regardless of corpus size. Unlike the text case the vectors themselves must live in
 state anyway (exact cosine verification needs them), so the win is
 compute + the ingestion CONTRACT: new×corpus and new×new candidates
 only, never corpus×corpus, with the same bucket-cap observability and
@@ -104,13 +107,24 @@ def pairs_against(
     vec_col: str = "embedding",
     dim: int | None = None,
     new_state: DataFrame | None = None,
+    broadcast_batch: bool = True,
 ) -> DataFrame:
     """Verified near-dup pairs (vec_a, vec_b, cosine_e6) with ≥1 side in
     the new batch; vec_a < vec_b; corpus×corpus pairs never produced.
     Same scale shape as embedding_near_dup_pairs: ids-only candidate
     shuffle, per-table combined-bucket cap, exact cosine verification of
     every emitted pair. `new_state` lets a caller reuse `state_for`
-    output computed for the append."""
+    output computed for the append.
+
+    `broadcast_batch=True` (default) mirrors dedup_incremental: the
+    batch's touched buckets are broadcast per table and the corpus state
+    is left-semi-joined against them — a broadcast-hash join streams the
+    corpus map-side, so a tick SHUFFLES O(batch + hits) id/bucket rows
+    and the verify join fetches corpus vectors by a second broadcast
+    semi-join on the bounded pair-member ids, never shuffling corpus
+    vectors. `broadcast_batch=False` keeps the round-5 corpus-wide window
+    (per-tick shuffle proportional to corpus size) for batches too large
+    to broadcast their bucket sets."""
     dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
     expect = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
     if new_state is None:
@@ -121,48 +135,101 @@ def pairs_against(
     _validate_state(new_state, tables, expect)
 
     keep = [id_col, vec_col, "_n", *[f"b{t}" for t in range(tables)]]
-    union = (
-        corpus_state.select(*keep)
-        .withColumn("is_new", F.lit(False))
-        .unionByName(
-            new_state.select(*keep).withColumn("is_new", F.lit(True))
-        )
-        .persist()  # feeds per-table bucket joins + the verify join
-    )
-    pair_frames = []
-    for t in range(tables):
-        bt = union.select(
-            F.col(id_col), F.col(f"b{t}").alias("bucket"), "is_new"
-        ).filter(F.col("bucket").isNotNull())
-        capped = (
-            bt.withColumn(
-                "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+    if broadcast_batch:
+        pair_frames = []
+        for t in range(tables):
+            nb = new_state.select(
+                F.col(id_col), F.col(f"b{t}").alias("bucket")
+            ).filter(F.col("bucket").isNotNull())
+            touched = nb.select("bucket").distinct()
+            hits = (
+                corpus_state.select(
+                    F.col(id_col), F.col(f"b{t}").alias("bucket")
+                )
+                .filter(F.col("bucket").isNotNull())
+                .join(F.broadcast(touched), "bucket", "left_semi")
             )
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
-        a, b = capped.alias("a"), capped.alias("b")
-        pair_frames.append(
-            a.join(
-                b,
-                (F.col("a.bucket") == F.col("b.bucket"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                & (F.col("a.is_new") | F.col("b.is_new")),
-            ).select(
-                F.col(f"a.{id_col}").alias("vec_a"),
-                F.col(f"b.{id_col}").alias("vec_b"),
+            both = nb.withColumn("is_new", F.lit(True)).unionByName(
+                hits.withColumn("is_new", F.lit(False))
             )
+            capped = (
+                both.withColumn(
+                    "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+                )
+                .filter(F.col("_bsz") <= max_bucket)
+                .drop("_bsz")
+            )
+            a, b = capped.alias("a"), capped.alias("b")
+            pair_frames.append(
+                a.join(
+                    b,
+                    (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    & (F.col("a.is_new") | F.col("b.is_new")),
+                ).select(
+                    F.col(f"a.{id_col}").alias("vec_a"),
+                    F.col(f"b.{id_col}").alias("vec_b"),
+                )
+            )
+        cands = pair_frames[0]
+        for x in pair_frames[1:]:
+            cands = cands.unionByName(x)
+        # feeds the member-id broadcast AND the verify join
+        cands = cands.dropDuplicates(["vec_a", "vec_b"]).persist()
+        members = (
+            cands.select(F.col("vec_a").alias(id_col))
+            .unionByName(cands.select(F.col("vec_b").alias(id_col)))
+            .distinct()
         )
-    cands = pair_frames[0]
-    for x in pair_frames[1:]:
-        cands = cands.unionByName(x)
-    cands = cands.dropDuplicates(["vec_a", "vec_b"])
-    va = union.select(
+        vec_src = (
+            corpus_state.select(*keep)
+            .join(F.broadcast(members), id_col, "left_semi")
+            .unionByName(new_state.select(*keep))
+            .persist()  # bounded: pair members + batch; feeds va AND vb
+        )
+    else:
+        vec_src = (
+            corpus_state.select(*keep)
+            .withColumn("is_new", F.lit(False))
+            .unionByName(
+                new_state.select(*keep).withColumn("is_new", F.lit(True))
+            )
+            .persist()  # feeds per-table bucket joins + the verify join
+        )
+        pair_frames = []
+        for t in range(tables):
+            bt = vec_src.select(
+                F.col(id_col), F.col(f"b{t}").alias("bucket"), "is_new"
+            ).filter(F.col("bucket").isNotNull())
+            capped = (
+                bt.withColumn(
+                    "_bsz", F.count("*").over(Window.partitionBy("bucket"))
+                )
+                .filter(F.col("_bsz") <= max_bucket)
+                .drop("_bsz")
+            )
+            a, b = capped.alias("a"), capped.alias("b")
+            pair_frames.append(
+                a.join(
+                    b,
+                    (F.col("a.bucket") == F.col("b.bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                    & (F.col("a.is_new") | F.col("b.is_new")),
+                ).select(
+                    F.col(f"a.{id_col}").alias("vec_a"),
+                    F.col(f"b.{id_col}").alias("vec_b"),
+                )
+            )
+        cands = pair_frames[0]
+        for x in pair_frames[1:]:
+            cands = cands.unionByName(x)
+        cands = cands.dropDuplicates(["vec_a", "vec_b"])
+    va = vec_src.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),
     )
-    vb = union.select(
+    vb = vec_src.select(
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("_vb"),
         F.col("_n").alias("_nb"),
@@ -194,6 +261,7 @@ def accept_batch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    broadcast_batch: bool = True,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest tick: (accepted_embeddings, pairs, new_state_rows).
     Rejection is id-order-agnostic and edge-wise, identical to
@@ -215,6 +283,7 @@ def accept_batch(
         vec_col,
         dim,
         new_state=new_state,
+        broadcast_batch=broadcast_batch,
     )
     new_ids = new_state.select(F.col(id_col).alias("doc_id"))
     flagged = pairs.join(

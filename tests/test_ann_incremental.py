@@ -103,3 +103,68 @@ def test_oversized_buckets_against(spark):
     audited = inc.oversized_buckets_against(batch, state, dim=8, max_bucket=2)
     assert audited.count() > 0
     assert inc.pairs_against(batch, state, dim=8, max_bucket=2).count() == 0
+
+
+@pytest.mark.spark
+def test_broadcast_strategy_matches_window_strategy(spark):
+    """The broadcast-batch candidate strategy (corpus streamed, O(batch)
+    tick shuffle) is pair-for-pair identical to the round-5 corpus-window
+    strategy, including cosine values."""
+    from similardocs_spark.operators import ann_incremental as inc
+
+    rng = np.random.default_rng(17)
+    bases = [_mk(100 + i) for i in range(6)]
+    corpus = _vecs(
+        spark,
+        [(i, bases[i % 6] + 0.01 * rng.standard_normal(8)) for i in range(40)],
+    )
+    batch = _vecs(
+        spark,
+        [
+            (100 + i, bases[i % 6] + 0.012 * rng.standard_normal(8))
+            for i in range(12)
+        ]
+        + [(200, _mk(999))],
+    )
+    state = inc.state_for(corpus, dim=8)
+
+    def got(broadcast):
+        return sorted(
+            (r["vec_a"], r["vec_b"], r["cosine_e6"])
+            for r in inc.pairs_against(
+                batch, state, threshold=0.95, dim=8,
+                broadcast_batch=broadcast,
+            ).collect()
+        )
+
+    window, broadcast = got(False), got(True)
+    assert broadcast == window and len(broadcast) >= 5
+
+
+@pytest.mark.spark
+def test_resolve_dim_from_state_metadata_no_probe(spark):
+    """dim omitted → resolved from the LSH config stamped in the corpus
+    state's field metadata; an all-null batch then still works (the probe
+    fallback would have raised)."""
+    from similardocs_spark.operators import ann_incremental as inc
+
+    corpus = _vecs(spark, [(1, _mk(1)), (2, _mk(2))])
+    state = inc.state_for(corpus, dim=8)
+    batch = spark.createDataFrame(
+        [(10, None)], "vec_id long, embedding array<float>"
+    )
+    assert inc.pairs_against(batch, state).count() == 0
+
+
+@pytest.mark.spark
+def test_infer_dim_null_safe(spark):
+    from similardocs_spark.operators.ann import infer_dim
+
+    df = spark.createDataFrame(
+        [(1, None), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<float>",
+    )
+    assert infer_dim(df) == 3
+    empty = df.filter(F.col("embedding").isNull())
+    with pytest.raises(ValueError, match="pass dim"):
+        infer_dim(empty)
