@@ -208,19 +208,28 @@ def pairs_against(
         corpus_bands = _band_buckets(
             corpus_sig.select(*keep), n_hashes, n_bands
         )
+    touched = new_bands.select("band", "key").distinct()
     if corpus_counts is not None:
         # buckets whose CORPUS size alone reaches the cap can never pass the
         # combined cap once the batch adds ≥1 row — drop them from both
         # sides up front so a mega-hot boilerplate bucket's rows never even
-        # stream through the semi join (counts are model-of-the-state-sized,
-        # the filter output is bounded by hot buckets — broadcast-safe)
-        hot = corpus_counts.filter(F.col("cnt") >= max_bucket).select(
-            "band", "key"
+        # stream through the semi join. corpus_counts may carry PER-TICK
+        # DELTAS (multiple rows per bucket); restrict to the touched keys
+        # FIRST (broadcast semi — counts streamed map-side, no corpus
+        # shuffle), then sum the bounded remainder
+        hot = (
+            corpus_counts.join(
+                F.broadcast(touched), ["band", "key"], "left_semi"
+            )
+            .groupBy("band", "key")
+            .agg(F.sum("cnt").alias("cnt"))
+            .filter(F.col("cnt") >= max_bucket)
+            .select("band", "key")
         )
         new_bands = new_bands.join(
             F.broadcast(hot), ["band", "key"], "left_anti"
         )
-    touched = new_bands.select("band", "key").distinct()
+        touched = touched.join(F.broadcast(hot), ["band", "key"], "left_anti")
     hits = corpus_bands.select("band", "key", "doc_id").join(
         F.broadcast(touched), ["band", "key"], "left_semi"
     )
@@ -281,6 +290,33 @@ def oversized_buckets_against(
     )
 
 
+def edgewise_survivors(pairs: DataFrame, new_ids: DataFrame) -> DataFrame:
+    """Batch doc_ids surviving edge-wise rejection: a pair against the
+    corpus drops the new side, an in-batch pair drops the higher id.
+    Id-order-agnostic (keys on WHICH side is new, not on id order); shared
+    by accept_batch and the banded state's phased tick (which checkpoints
+    `pairs` first so this derivation is a cheap re-read)."""
+    flagged = pairs.join(
+        new_ids.select(
+            F.col("doc_id").alias("doc_a"), F.lit(True).alias("_a_new")
+        ),
+        "doc_a",
+        "left",
+    ).join(
+        new_ids.select(
+            F.col("doc_id").alias("doc_b"), F.lit(True).alias("_b_new")
+        ),
+        "doc_b",
+        "left",
+    )
+    rejected = flagged.select(
+        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    return new_ids.join(rejected, "doc_id", "left_anti")
+
+
 def accept_batch(
     new_docs: DataFrame,
     corpus_sig: DataFrame,
@@ -292,6 +328,7 @@ def accept_batch(
     broadcast_batch: bool = True,
     corpus_bands: DataFrame | None = None,
     corpus_counts: DataFrame | None = None,
+    new_sig: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """One ingest tick: returns (accepted_docs, pairs, new_state_rows).
 
@@ -308,7 +345,8 @@ def accept_batch(
     above or below batch ids — rejection keys on WHICH side is new, not
     on id order.
     """
-    new_sig = signatures_for(new_docs, text_col, n_hashes)
+    if new_sig is None:
+        new_sig = signatures_for(new_docs, text_col, n_hashes)
     pairs = pairs_against(
         new_docs,
         corpus_sig,
@@ -322,27 +360,7 @@ def accept_batch(
         corpus_bands=corpus_bands,
         corpus_counts=corpus_counts,
     )
-    new_ids = new_sig.select("doc_id")
-    flagged = pairs.join(
-        new_ids.select(
-            F.col("doc_id").alias("doc_a"), F.lit(True).alias("_a_new")
-        ),
-        "doc_a",
-        "left",
-    ).join(
-        new_ids.select(
-            F.col("doc_id").alias("doc_b"), F.lit(True).alias("_b_new")
-        ),
-        "doc_b",
-        "left",
-    )
-    # corpus match → the new side goes; in-batch pair → the higher id goes
-    rejected = flagged.select(
-        F.when(F.col("_a_new") & F.col("_b_new").isNull(), F.col("doc_a"))
-        .otherwise(F.col("doc_b"))
-        .alias("doc_id")
-    ).distinct()
-    survivors = new_ids.join(rejected, "doc_id", "left_anti")
+    survivors = edgewise_survivors(pairs, new_sig.select("doc_id"))
     accepted = new_docs.join(survivors, "doc_id", "left_semi")
     state = new_sig.join(survivors, "doc_id", "left_semi")
     return accepted, pairs, state

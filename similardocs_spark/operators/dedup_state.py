@@ -56,7 +56,11 @@ from pyspark.sql import functions as F
 from ..index.catalog import ParquetIO, get_io
 from ..util import local_df
 from .dedup import MAX_BUCKET, N_BANDS, N_HASHES, _band_buckets
-from .dedup_incremental import accept_batch, signatures_for
+from .dedup_incremental import (
+    edgewise_survivors,
+    pairs_against,
+    signatures_for,
+)
 
 BATCH_COL = "ingest_batch"
 BASE_LABEL = "base"
@@ -139,11 +143,20 @@ class BandedDedupState:
             BATCH_COL
         )
 
+    def read_count_deltas(self, exclude: str | None = None) -> DataFrame:
+        """RAW (band, key, cnt) per-tick delta rows — what pairs_against
+        consumes (it restricts to touched buckets BEFORE summing, so the
+        full-table aggregation below never runs on the tick path)."""
+        return self._read(self.counts_path, _COUNTS_SCHEMA, exclude).drop(
+            BATCH_COL
+        )
+
     def read_counts(self, exclude: str | None = None) -> DataFrame:
-        """Aggregated (band, key, cnt) — per-tick deltas summed; compaction
-        collapses the deltas so this stays one row per live bucket."""
+        """Aggregated (band, key, cnt) — per-tick deltas summed (an
+        O(live buckets) shuffle; audits/maintenance only, NOT the tick
+        path); compaction collapses the deltas to one row per bucket."""
         return (
-            self._read(self.counts_path, _COUNTS_SCHEMA, exclude)
+            self.read_count_deltas(exclude)
             .groupBy("band", "key")
             .agg(F.sum("cnt").alias("cnt"))
         )
@@ -230,23 +243,36 @@ class BandedDedupState:
         directories once phase 2 starts replacing them, and a caller may
         durably commit its own outputs (e.g. the accepted-corpus
         partition) BETWEEN the phases for the crash ordering documented in
-        the module docstring."""
-        accepted, pairs, state_rows = accept_batch(
+        the module docstring.
+
+        Checkpoint staging: the batch signatures are materialized once
+        (one shingle pass), then the candidate pairs (one banded join),
+        and the accepted/state outputs are cheap derivations of those two
+        — three naive independent localCheckpoints would re-execute the
+        whole adjudication lineage each (measured ~3× the tick)."""
+        new_sig = signatures_for(
+            new_docs, text_col, self.n_hashes
+        ).localCheckpoint(eager=True)
+        pairs = pairs_against(
             new_docs,
             self.read_signatures(exclude=label),
             text_col,
-            min_jaccard=min_jaccard,
             max_bucket=max_bucket,
             n_hashes=self.n_hashes,
             n_bands=self.n_bands,
+            min_jaccard=min_jaccard,
+            new_sig=new_sig,
             corpus_bands=self.read_bands(exclude=label),
-            corpus_counts=self.read_counts(exclude=label),
-        )
-        return (
-            accepted.localCheckpoint(eager=True),
-            pairs.localCheckpoint(eager=True),
-            state_rows.localCheckpoint(eager=True),
-        )
+            corpus_counts=self.read_count_deltas(exclude=label),
+        ).localCheckpoint(eager=True)
+        survivors = edgewise_survivors(pairs, new_sig.select("doc_id"))
+        accepted = new_docs.join(
+            survivors, "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        state_rows = new_sig.join(
+            survivors, "doc_id", "left_semi"
+        ).localCheckpoint(eager=True)
+        return accepted, pairs, state_rows
 
     def commit_batch(self, state_rows: DataFrame, label: str) -> None:
         """Phase 2 of a tick: write the accepted signatures' state
