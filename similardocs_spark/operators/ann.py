@@ -71,6 +71,27 @@ def hyperplanes(dim: int, bits: int = 8, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+def lsh_bits_for(
+    n_vectors: int, target_bucket: int = 75, lo: int = 6, hi: int = 24
+) -> int:
+    """Hyperplane count sized to the corpus: 2^bits buckets per table such
+    that the EXPECTED bucket size is ~target_bucket. The default bits=6
+    (64 buckets/table) is a small-corpus setting — at ≥10^5 vectors every
+    bucket blows past max_bucket and candidate recall collapses to zero,
+    the same failure mode round 5 fixed for simhash by auto-selecting
+    64-bit. More bits = smaller buckets = cheaper within-bucket joins but
+    lower per-table recall for pairs near the threshold (compensate with
+    `tables`); the 306k-vector campaign ran bits=14 → 98.5% planted recall
+    at cosine ≈ 0.999 (BENCH_OPS_SCALING embedding_near_dup_pairs).
+    Callers that persist LSH state must size bits ONCE at bootstrap (the
+    config is stamped into state metadata and ticks must match)."""
+    import math
+
+    if n_vectors <= 0:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 # Above this embedding dim the JVM literal-array plan is replaced by one
 # Arrow-batched matmul UDF: the literal plan embeds dim×bits F.lit nodes
 # (at dim=768, bits=8, tables=2 that is ~12k literals — Catalyst analysis

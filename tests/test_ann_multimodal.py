@@ -384,3 +384,19 @@ def test_ivf_kmeans_refinement_improves_clustered_recall(spark):
     r_init, r_refined = recall(init), recall(refined)
     assert r_refined >= r_init
     assert r_refined >= 0.9  # clustered corpus, probe in a cluster
+
+
+def test_lsh_bits_for_sizes_to_corpus():
+    """bits sized so expected bucket size ~ target; clamped to [6, 24].
+    The default bits=6 is a small-corpus setting — at >=1e5 vectors every
+    64-per-table bucket exceeds max_bucket and recall collapses."""
+    from similardocs_spark.operators.ann import lsh_bits_for
+
+    assert lsh_bits_for(0) == 6
+    assert lsh_bits_for(1000) == 6
+    assert lsh_bits_for(306_000) == 12
+    assert lsh_bits_for(3_000_000) == 16
+    assert lsh_bits_for(10**12) == 24
+    for n in (10**5, 10**6, 10**8):
+        b = lsh_bits_for(n)
+        assert n / 2**b <= 75 < n / 2 ** (b - 1) or b in (6, 24)
