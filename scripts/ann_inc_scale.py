@@ -39,10 +39,14 @@ from ops_scale import UI_PORT, stages_snapshot  # noqa: E402
 DIM = 96
 BATCH_VECS = 5000
 PLANT_EVERY = 50
-BITS = 14  # the round-5 campaign config at 306k vectors (98.5% planted
-# recall); ann.lsh_bits_for(3e6) also lands here-ish — at the default
-# bits=6 there are only 64 buckets/table, every bucket is touched by any
-# real batch AND blows past max_bucket at >10^5 vectors
+# bits per level = ann.lsh_bits_for(n_corpus): 12 at 300k, 16 at 3M.
+# This is the load-bearing dial: a 5k batch touches ~5k buckets/table,
+# so per-tick corpus hits ≈ expected_bucket_size × touched — O(batch)
+# ONLY when expected bucket size is held ~constant by scaling bits with
+# the corpus. A FIXED bits=14 was measured corpus-proportional from
+# 300k→3M (broadcast 256→3883 MB, 15×, WORSE than window at 3M because
+# a batch touches most of the 16k-bucket space and the semi join
+# filters nothing); corpus-sized bits is what this campaign evidences.
 
 
 def make_vectors(spark, ids_and_seeds):
@@ -143,14 +147,18 @@ def main() -> None:
         corpus = make_vectors(
             spark, planted.unionByName(filler).repartition(par)
         )
+        from similardocs_spark.operators.ann import lsh_bits_for
+
+        bits = lsh_bits_for(n_corpus)
         state_dir = f"{droot}/state_{n_corpus}"
         t0 = time.time()
-        inc.state_for(corpus, dim=DIM, bits=BITS).write.mode(
+        inc.state_for(corpus, dim=DIM, bits=bits).write.mode(
             "overwrite"
         ).parquet(state_dir)
         state = spark.read.parquet(state_dir)
         level = {
             "n_corpus": n_corpus,
+            "bits": bits,
             "state_build_sec": round(time.time() - t0, 1),
         }
 
@@ -178,7 +186,7 @@ def main() -> None:
 
         def adjudicate(broadcast: bool):
             pairs = inc.pairs_against(
-                batch, state, dim=DIM, bits=BITS, broadcast_batch=broadcast
+                batch, state, dim=DIM, bits=bits, broadcast_batch=broadcast
             )
             n_pairs = pairs.count()
             n_planted = pairs.filter(

@@ -19,6 +19,16 @@ The LSH configuration (dim, bits, tables, seed) is stamped into the
 bucket columns' field metadata — Spark persists field metadata through
 parquet — and `pairs_against` fails fast on a mismatched or missing
 config instead of silently joining buckets from different hash families.
+
+SIZE `bits` TO THE CORPUS (`ann.lsh_bits_for`): per-tick corpus work is
+the rows in buckets the batch touches ≈ expected_bucket_size × touched
+buckets — corpus-INDEPENDENT only while expected bucket size is held
+~constant. At a fixed bits the tick degrades to O(corpus) as the corpus
+outgrows its 2^bits bucket space (measured: bits=14, 300k→3M vectors,
+broadcast-strategy shuffle 256→3883 MB and slower than the window —
+scripts/ann_inc_scale.py), so when the corpus grows ~10× past its
+bootstrap sizing, re-band the state with more bits at a compaction
+(one projection pass; cheaper than every tick paying the full corpus).
 """
 from __future__ import annotations
 
@@ -44,6 +54,34 @@ def _resolve_dim(
         if meta and meta.get("dim") is not None:
             return int(meta["dim"])
     return infer_dim(batch, vec_col)
+
+
+def _resolve_config(
+    corpus_state: DataFrame | None,
+    bits: int | None,
+    tables: int | None,
+    seed: int | None,
+) -> tuple[int, int, int]:
+    """Per-tick LSH-config resolution: explicit argument wins; else the
+    config stamped into the corpus state's b0 field metadata (state_for
+    writes it; parquet persists it); else the small-corpus defaults
+    (6, 2, 42). Lets a caller bootstrap with `bits=lsh_bits_for(n)` once
+    and run every tick as plain `pairs_against(batch, state)` — the tick
+    can no longer silently disagree with the bootstrap sizing."""
+    meta = None
+    if corpus_state is not None and "b0" in corpus_state.columns:
+        meta = corpus_state.schema["b0"].metadata or None
+
+    def pick(v: int | None, k: str, d: int) -> int:
+        if v is not None:
+            return v
+        if meta and meta.get(k) is not None:
+            return int(meta[k])
+        return d
+
+    return pick(bits, "bits", 6), pick(tables, "tables", 2), pick(
+        seed, "seed", 42
+    )
 
 
 def state_for(
@@ -99,9 +137,9 @@ def pairs_against(
     new_embeddings: DataFrame,
     corpus_state: DataFrame,
     threshold: float = 0.9,
-    bits: int = 6,
-    tables: int = 2,
-    seed: int = 42,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int | None = None,
     max_bucket: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -124,8 +162,13 @@ def pairs_against(
     semi-join on the bounded pair-member ids, never shuffling corpus
     vectors. `broadcast_batch=False` keeps the round-5 corpus-wide window
     (per-tick shuffle proportional to corpus size) for batches too large
-    to broadcast their bucket sets."""
+    to broadcast their bucket sets.
+
+    bits/tables/seed default to the config stamped in the corpus state's
+    metadata (then 6/2/42), so ticks follow the bootstrap sizing — pass
+    explicitly only to override (a mismatch still fails fast)."""
     dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
+    bits, tables, seed = _resolve_config(corpus_state, bits, tables, seed)
     expect = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
     if new_state is None:
         new_state = state_for(
@@ -254,9 +297,9 @@ def accept_batch(
     new_embeddings: DataFrame,
     corpus_state: DataFrame,
     threshold: float = 0.9,
-    bits: int = 6,
-    tables: int = 2,
-    seed: int = 42,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int | None = None,
     max_bucket: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -266,8 +309,10 @@ def accept_batch(
     """One ingest tick: (accepted_embeddings, pairs, new_state_rows).
     Rejection is id-order-agnostic and edge-wise, identical to
     dedup_incremental.accept_batch: a corpus match drops the new side,
-    an in-batch pair drops the higher id."""
+    an in-batch pair drops the higher id. LSH config defaults to the
+    corpus state's stamped metadata (see pairs_against)."""
     dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
+    bits, tables, seed = _resolve_config(corpus_state, bits, tables, seed)
     new_state = state_for(
         new_embeddings, dim, bits, tables, seed, id_col, vec_col
     )
@@ -313,17 +358,19 @@ def accept_batch(
 def oversized_buckets_against(
     new_embeddings: DataFrame,
     corpus_state: DataFrame,
-    bits: int = 6,
-    tables: int = 2,
-    seed: int = 42,
+    bits: int | None = None,
+    tables: int | None = None,
+    seed: int | None = None,
     max_bucket: int = 2000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
 ) -> DataFrame:
     """Audit: combined (corpus ∪ new) buckets pairs_against would skip,
-    as (table, bucket, bucket_size) rows — no silent caps."""
+    as (table, bucket, bucket_size) rows — no silent caps. LSH config
+    defaults to the corpus state's stamped metadata (see pairs_against)."""
     dim = _resolve_dim(dim, corpus_state, new_embeddings, vec_col)
+    bits, tables, seed = _resolve_config(corpus_state, bits, tables, seed)
     new_state = state_for(
         new_embeddings, dim, bits, tables, seed, id_col, vec_col
     )

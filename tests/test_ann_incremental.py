@@ -168,3 +168,30 @@ def test_infer_dim_null_safe(spark):
     empty = df.filter(F.col("embedding").isNull())
     with pytest.raises(ValueError, match="pass dim"):
         infer_dim(empty)
+
+
+@pytest.mark.spark
+def test_lsh_config_resolved_from_state_metadata(spark, tmp_path):
+    """A tick needs no LSH config args: pairs_against/accept_batch default
+    bits/tables/seed from the corpus state's stamped field metadata (the
+    bootstrap sizing, e.g. lsh_bits_for), surviving a parquet round-trip;
+    an explicit mismatching override still fails fast."""
+    from similardocs_spark.operators import ann_incremental as inc
+
+    base = _mk(7)
+    corpus = _vecs(spark, [(1, base), (2, _mk(8))])
+    batch = _vecs(spark, [(10, base + 0.01 * _mk(9))])
+    p = str(tmp_path / "state")
+    inc.state_for(corpus, dim=8, bits=10, tables=3, seed=5).write.parquet(p)
+    state = spark.read.parquet(p)
+
+    pairs = inc.pairs_against(batch, state).collect()  # no config args
+    assert {(r["vec_a"], r["vec_b"]) for r in pairs} == {(1, 10)}
+    accepted, _, new_state = inc.accept_batch(batch, state)
+    assert accepted.count() == 0  # 10 rejected against corpus 1
+    assert [f"b{t}" in new_state.columns for t in range(3)] == [True] * 3
+    meta = new_state.schema["b0"].metadata
+    assert (meta["bits"], meta["tables"], meta["seed"]) == (10, 3, 5)
+
+    with pytest.raises(ValueError, match="different hash families"):
+        inc.pairs_against(batch, state, bits=6).collect()
