@@ -113,6 +113,36 @@ def state_for(
     return embeddings.select(*cols)
 
 
+def reband_state(
+    state: DataFrame,
+    bits: int,
+    tables: int | None = None,
+    seed: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Re-derive the bucket columns at a NEW config from the state's
+    stored vectors — ONE projection pass (the bucket matmul UDF over the
+    state; no shuffle, no re-read of source data). Run at a compaction
+    when the corpus has outgrown its bootstrap `lsh_bits_for` sizing
+    (module docstring: at a fixed bits, per-tick cost degrades to
+    O(corpus) as expected bucket size grows with the corpus). dim and
+    any unspecified config come from the old state's stamped metadata;
+    subsequent ticks pick the new config up from the new metadata."""
+    meta = state.schema["b0"].metadata if "b0" in state.columns else {}
+    dim = int(meta["dim"]) if meta and meta.get("dim") is not None else None
+    _, old_tables, old_seed = _resolve_config(state, None, None, None)
+    return state_for(
+        state.select(id_col, vec_col),
+        dim=dim,
+        bits=bits,
+        tables=tables if tables is not None else old_tables,
+        seed=seed if seed is not None else old_seed,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def _validate_state(state: DataFrame, tables: int, expect: dict) -> None:
     for t in range(tables):
         name = f"b{t}"

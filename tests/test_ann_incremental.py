@@ -195,3 +195,31 @@ def test_lsh_config_resolved_from_state_metadata(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different hash families"):
         inc.pairs_against(batch, state, bits=6).collect()
+
+
+@pytest.mark.spark
+def test_reband_state_one_pass_config_swap(spark, tmp_path):
+    """reband_state re-derives buckets at a new bits from stored vectors;
+    ticks against the re-banded state pick up the new config from
+    metadata and find the same pairs."""
+    from similardocs_spark.operators import ann_incremental as inc
+
+    base = _mk(7)
+    corpus = _vecs(spark, [(1, base), (2, _mk(8)), (3, _mk(9))])
+    batch = _vecs(spark, [(10, base + 0.01 * _mk(11))])
+    old = inc.state_for(corpus, dim=8, bits=4, tables=2, seed=5)
+    new = inc.reband_state(old, bits=7)
+    meta = new.schema["b0"].metadata
+    assert (meta["bits"], meta["tables"], meta["seed"], meta["dim"]) == (
+        7, 2, 5, 8,
+    )
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in inc.pairs_against(batch, new).collect()
+    }
+    assert got == {(1, 10)}
+    # old-config batch state vs re-banded corpus state still fails fast
+    with pytest.raises(ValueError, match="different hash families"):
+        inc.pairs_against(
+            batch, new, new_state=inc.state_for(batch, dim=8, bits=4)
+        ).collect()
