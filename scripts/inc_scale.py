@@ -198,6 +198,25 @@ def main() -> None:
             return {"n_accepted": accepted.count(), "n_pairs": pairs.count()}
 
         measured("banded_full_tick", banded_tick)
+
+        # maintenance: fold the tick partition into base (wall only), then
+        # attest the compacted state still adjudicates — re-ingesting the
+        # same TEXTS under fresh ids must reject every previously-accepted
+        # doc as an exact dup of its own state row (jaccard 1.0 pairs)
+        def compact_state():
+            st.compact()
+
+        measured("compact", compact_state)
+
+        replay = batch.withColumn(
+            "doc_id", F.col("doc_id") + 10_000_000_000
+        )
+
+        def post_compact_tick():
+            accepted, pairs = st.tick(replay, "t_post_compact")
+            return {"n_accepted": accepted.count(), "n_pairs": pairs.count()}
+
+        measured("post_compact_tick", post_compact_tick)
         out["levels"][key] = level
         print(json.dumps({key: level}), flush=True)
 
