@@ -904,6 +904,59 @@ ORDER BY d.doc_id
 """
 
 
+# --------------------------------------------- 22. benchmark decontamination
+
+
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination over the documents table. The "benchmark"
+    is derived deterministically from the corpus itself (every 41st doc_id
+    contributes a 12-token excerpt starting at its 2nd token), so the pair
+    is self-contained: those excerpts' 8-gram shingles must flag exactly
+    their source docs plus any true coincidental overlap — both engines
+    compute the same set."""
+    from .operators import decontam
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[ \n]+"),
+        lambda x: F.length(x) > 0,
+    )
+    bench = docs.filter(F.col("doc_id") % 41 == 0).select(
+        F.concat_ws(" ", F.slice(toks, 2, 12)).alias("text")
+    )
+    return decontam.decontaminate(docs, bench, n=8)
+
+
+SQL_DECONTAM = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+bw AS (SELECT list_slice(ws, 2, 13) AS bs FROM w WHERE doc_id % 41 = 0),
+bgrams AS (
+  SELECT DISTINCT array_to_string(list_slice(bs, i + 1, i + 8), ' ') AS g
+  FROM (SELECT bs, unnest(range(len(bs) - 7)) AS i FROM bw WHERE len(bs) >= 8)
+),
+dgrams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(ws, i + 1, i + 8), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM w
+        WHERE len(ws) >= 8)
+),
+ng AS (SELECT doc_id, count(*) AS n_grams FROM dgrams GROUP BY doc_id),
+hits AS (SELECT dg.doc_id, count(*) AS n_hits
+         FROM dgrams dg JOIN bgrams b ON dg.g = b.g GROUP BY dg.doc_id)
+SELECT d.doc_id,
+  CAST(coalesce(ng.n_grams, 0) AS BIGINT) AS n_grams,
+  CAST(coalesce(hits.n_hits, 0) AS BIGINT) AS n_hits,
+  coalesce(hits.n_hits, 0) >= 1 AS contaminated
+FROM documents d
+LEFT JOIN ng ON d.doc_id = ng.doc_id
+LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+
 OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_docs": q_dedup_docs,
@@ -928,6 +981,7 @@ OPS_QUERIES = {
     "quality_filter": q_quality_filter,
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
+    "decontam": q_decontam,
 }
 
 OPS_SQL = {
@@ -954,4 +1008,5 @@ OPS_SQL = {
     "quality_filter": SQL_QUALITY_FILTER,
     "fingerprint": SQL_FINGERPRINT,
     "media_features": SQL_MEDIA_FEATURES,
+    "decontam": SQL_DECONTAM,
 }

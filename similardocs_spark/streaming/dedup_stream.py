@@ -123,13 +123,14 @@ def run_dedup_ingest(
             col=BATCH_COL,
         )
         state.commit_batch(state_rows, label)
+        n_accepted = accepted.count()
         results.append(
             {
                 "batch_id": batch_id,
                 "n_arrived": counts["arrived"],
                 "n_replayed": counts["arrived"] - counts["fresh"],
-                "n_accepted": accepted.count(),
-                "n_rejected": counts["fresh"] - accepted.count(),
+                "n_accepted": n_accepted,
+                "n_rejected": counts["fresh"] - n_accepted,
                 "n_pairs": pairs.count(),
             }
         )
