@@ -198,25 +198,28 @@ class BandedDedupState:
         corpus (docs, or a pre-computed signature table): signatures are
         written first, then bands/counts are derived from the WRITTEN
         parquet (one materialization — the shingle lineage never runs
-        twice)."""
+        twice). FULL partitioned replaces, not dynamic overwrites: a
+        re-bootstrap of a state that already has tick partitions must
+        replace them, not coexist with them (same reasoning as
+        `_compact_into`)."""
         if (corpus_docs is None) == (corpus_sig is None):
             raise ValueError("pass exactly one of corpus_docs / corpus_sig")
         if corpus_sig is None:
             corpus_sig = signatures_for(corpus_docs, text_col, self.n_hashes)
         keep = ["doc_id", *[f"mh{i}" for i in range(self.n_hashes)]]
-        self.io.overwrite_dynamic(
+        self.io.overwrite_partitioned(
             corpus_sig.select(*keep).withColumn(BATCH_COL, F.lit(BASE_LABEL)),
             self.sig_path,
             col=BATCH_COL,
         )
         written = self.read_signatures()
         bands = _band_buckets(written, self.n_hashes, self.n_bands)
-        self.io.overwrite_dynamic(
+        self.io.overwrite_partitioned(
             bands.withColumn(BATCH_COL, F.lit(BASE_LABEL)),
             self.bands_path,
             col=BATCH_COL,
         )
-        self.io.overwrite_dynamic(
+        self.io.overwrite_partitioned(
             self.read_bands()
             .groupBy("band", "key")
             .agg(F.count("*").alias("cnt"))
@@ -324,18 +327,27 @@ class BandedDedupState:
         self._swap_compacted()
 
     def _compact_into(self, io, root: str, sig: DataFrame) -> None:
-        io.overwrite_dynamic(
+        # overwrite_partitioned (FULL replace, keeping the partition layout),
+        # NOT overwrite_dynamic: the compacted output contains only the
+        # "base" partition, and a dynamic overwrite replaces only the
+        # partitions present in the data — it would leave every old
+        # per-tick partition alive alongside the base rows that subsume
+        # them (on Iceberg, where compaction rewrites the live table in
+        # place, that means every previously-ticked row duplicated; the
+        # parquet path stages into a fresh dir, where the two are
+        # equivalent, but uses the same call for contract parity)
+        io.overwrite_partitioned(
             sig.withColumn(BATCH_COL, F.lit(BASE_LABEL)),
             f"{root}/sig",
             col=BATCH_COL,
         )
         bands = _band_buckets(sig, self.n_hashes, self.n_bands)
-        io.overwrite_dynamic(
+        io.overwrite_partitioned(
             bands.withColumn(BATCH_COL, F.lit(BASE_LABEL)),
             f"{root}/bands",
             col=BATCH_COL,
         )
-        io.overwrite_dynamic(
+        io.overwrite_partitioned(
             bands.groupBy("band", "key")
             .agg(F.count("*").alias("cnt"))
             .withColumn(BATCH_COL, F.lit(BASE_LABEL)),

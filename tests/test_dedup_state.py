@@ -255,3 +255,72 @@ def test_state_oversized_audit(spark, tmp_path):
     assert capped_pairs <= {
         (r["doc_a"], r["doc_b"]) for r in pairs_uncapped.collect()
     }
+
+
+class _RecordingIO:
+    """Wraps a real ParquetIO: delegates everything, records write routing.
+    Stands in for the Iceberg runtime (absent in the sandbox) to pin WHICH
+    shim write each state operation uses — on Iceberg, compaction rewrites
+    the LIVE table, so a dynamic overwrite (replaces only partitions present
+    in the data, i.e. just "base") would leave every old per-tick partition
+    alive and double the state."""
+
+    def __init__(self, inner, mode="iceberg"):
+        self._inner = inner
+        self.mode = mode
+        self.calls: list[tuple[str, str]] = []
+
+    def __getattr__(self, name):
+        attr = getattr(self._inner, name)
+        if not callable(attr):
+            return attr
+
+        def call(*args, **kwargs):
+            path = next(
+                (a for a in args[1:] if isinstance(a, str)),
+                kwargs.get("path", ""),
+            )
+            self.calls.append((name, path))
+            return attr(*args, **kwargs)
+
+        return call
+
+
+@pytest.mark.spark
+def test_compact_and_bootstrap_use_full_partitioned_replace(
+    spark, tmp_path, corpus_and_batch
+):
+    """compact()/bootstrap() must route through overwrite_partitioned (full
+    replace), NEVER overwrite_dynamic; per-tick commits must stay dynamic
+    (idempotent replay replaces only the tick's own partition)."""
+    from similardocs_spark.operators.dedup_state import BandedDedupState
+
+    corpus, batch = corpus_and_batch
+    root = str(tmp_path / "st")
+    st = BandedDedupState(spark, root)
+    rec = _RecordingIO(st.io, mode="parquet")  # delegate still parquet-real
+    st.io = rec
+
+    st.bootstrap(corpus_docs=corpus)
+    boot_writes = [c for c in rec.calls if c[0].startswith("overwrite")]
+    assert {c[0] for c in boot_writes} == {"overwrite_partitioned"}
+
+    rec.calls.clear()
+    accepted, _ = st.tick(batch, "t1")
+    n_state = corpus.count() + accepted.count()
+    tick_writes = [c for c in rec.calls if c[0].startswith("overwrite")]
+    assert {c[0] for c in tick_writes} == {"overwrite_dynamic"}
+
+    # iceberg-mode compact rewrites the live tables in place — full replace
+    rec.calls.clear()
+    rec.mode = "iceberg"
+    st.compact()
+    compact_writes = [c for c in rec.calls if c[0].startswith("overwrite")]
+    assert {c[0] for c in compact_writes} == {"overwrite_partitioned"}
+    assert {c[1].rsplit("/", 1)[-1] for c in compact_writes} == {
+        "sig", "bands", "counts",
+    }
+    # and the fold is semantically a no-op duplication-wise: exactly one
+    # signature row per accepted doc, none doubled
+    assert st.read_signatures().count() == n_state
+    assert st.read_signatures().select("doc_id").distinct().count() == n_state
