@@ -97,29 +97,37 @@ def decontaminate(
     Returns (doc_id, n_grams, n_hits, contaminated); every input doc_id is
     present — docs shorter than n tokens have n_grams = 0 and are clean.
     """
-    bench = benchmark_gram_hashes(benchmark, bench_text_col, n)
+    bench = benchmark_gram_hashes(benchmark, bench_text_col, n).withColumn(
+        "_hit", F.lit(1)
+    )
     if broadcast:
         bench = F.broadcast(bench)
-    per_doc = docs.select(
+    # ONE pass over the gram lineage: the n-gram zip chain is the dominant
+    # cost (measured 84 s -> 40 s at 309k docs when the separate
+    # n_grams/hits branches were fused), so size + explode_outer ride the
+    # same projection; the left join streams map-side against the broadcast
+    # gram set and the per-doc agg partial-combines before the only
+    # exchange (one row per doc per map partition). explode_outer keeps
+    # docs shorter than n tokens as a NULL-gram row (joins nothing,
+    # counts 0).
+    ex = docs.select(
         "doc_id", _gram_hashes(F.col(text_col), n).alias("_g")
     ).select(
-        "doc_id", F.size("_g").cast("long").alias("n_grams"), "_g"
-    )
-    hits = (
-        per_doc.select("doc_id", F.explode("_g").alias("gram"))
-        .join(bench, "gram", "inner")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        "doc_id",
+        F.size("_g").cast("long").alias("_ng"),
+        F.explode_outer("_g").alias("gram"),
     )
     return (
-        per_doc.drop("_g")
-        .join(hits, "doc_id", "left")
+        ex.join(bench, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("_ng").alias("n_grams"),
+            F.count("_hit").alias("n_hits"),
+        )
         .select(
             "doc_id",
             "n_grams",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias(
-                "contaminated"
-            ),
+            "n_hits",
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
         )
     )
