@@ -904,6 +904,57 @@ ORDER BY d.doc_id
 """
 
 
+# ------------------------------------------ 21b. corpus top n-grams / mixture
+
+
+def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 trigrams (boilerplate discovery) — two-phase
+    hashed heavy hitters; final (cnt DESC, gram ASC) order is total, so
+    the LIMIT cut is cross-engine deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.top_ngrams(docs, n=3, k=20)
+
+
+SQL_TOP_NGRAMS = """
+WITH w AS (
+  SELECT list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(range(len(ws) - 2),
+                               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         AS gram
+  FROM w WHERE len(ws) >= 3
+),
+cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+kth AS (SELECT min(c) AS m FROM (SELECT c FROM cnt ORDER BY c DESC LIMIT 20))
+SELECT gram, CAST(c AS BIGINT) AS cnt
+FROM cnt, kth WHERE c >= m
+ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.mixture_summary(docs)
+
+
+SQL_MIXTURE = f"""
+WITH tc AS (
+  SELECT source, lang,
+         len(regexp_extract_all(lower(coalesce(text, '')), '{{pat}}')) AS toks
+  FROM documents
+),
+per AS (SELECT source, lang, count(*) AS n_docs,
+               sum(toks) AS bpe FROM tc GROUP BY source, lang)
+SELECT source, lang, n_docs, CAST(bpe AS BIGINT) AS bpe_tokens,
+  CAST(round(bpe * 1e6 / (SELECT sum(bpe) FROM per)) AS BIGINT)
+    AS token_share_e6
+FROM per
+""".replace("{pat}", textstats.TOKEN_PATTERN)
+
+
 # --------------------------------------------- 22. benchmark decontamination
 
 
@@ -982,6 +1033,8 @@ OPS_QUERIES = {
     "fingerprint": q_fingerprint,
     "media_features": q_media_features,
     "decontam": q_decontam,
+    "top_ngrams": q_top_ngrams,
+    "mixture": q_mixture,
 }
 
 OPS_SQL = {
@@ -1009,4 +1062,6 @@ OPS_SQL = {
     "fingerprint": SQL_FINGERPRINT,
     "media_features": SQL_MEDIA_FEATURES,
     "decontam": SQL_DECONTAM,
+    "top_ngrams": SQL_TOP_NGRAMS,
+    "mixture": SQL_MIXTURE,
 }

@@ -344,3 +344,110 @@ def fingerprint(
         .groupBy("doc_id")
         .agg(F.concat_ws("", F.array_sort(F.collect_set("h"))).alias("fp"))
     )
+
+
+def _word_grams(text_col, n: int):
+    """Row-local n-token shingle array (occurrences, not distinct) of the
+    lowercased ws-split text — the same tokenization as repetition_stats."""
+    w = F.filter(
+        F.split(F.lower(F.coalesce(text_col, F.lit(""))), "[ \n]+"),
+        lambda x: F.length(x) > 0,
+    )
+    if n == 1:
+        grams = w
+    else:
+        parts = [
+            F.slice(w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
+            for i in range(n)
+        ]
+        grams = parts[0]
+        for p in parts[1:]:
+            grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def top_ngrams(
+    docs: DataFrame, n: int = 3, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k n-grams by occurrence count — the boilerplate /
+    template-discovery pass of a training-data pipeline (what you run
+    BEFORE writing dedup and filter rules, to see what actually repeats).
+
+    Two-phase heavy-hitter shape (the 100-TB-safe plan, same reasoning as
+    repetition_stats' pre-shuffle hashing):
+      1. count xxhash64'd grams — the full gram stream shuffles as bare
+         (long) rows with map-side partial combine, never gram text;
+         the k-th highest count c* is a bounded k-row driver action
+         (model-sized, like a centroid collect).
+      2. re-derive grams WITH text, broadcast-semi-join to the candidate
+         hash set (everything with count ≥ c*, so a tie at the boundary
+         never silently drops a gram), and count exactly by text — only
+         candidate-gram rows survive to this tiny aggregation.
+    Final order (cnt DESC, gram ASC) is total, so the LIMIT k cut is
+    deterministic and cross-engine stable. A 2⁻⁶⁴ hash collision could
+    inflate one phase-1 count (affecting only the boundary cut, not the
+    reported counts, which phase 2 recomputes from text).
+
+    Output: (gram, cnt), k rows (fewer if the corpus has fewer grams).
+    """
+    grams = _word_grams(F.col(text_col), n)
+    hashed = docs.select(
+        F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("g")
+    )
+    cnt = hashed.groupBy("g").agg(F.count("*").alias("cnt"))
+    kth = cnt.orderBy(F.desc("cnt")).limit(k).agg(F.min("cnt")).collect()[0][0]
+    if kth is None:
+        return docs.sparkSession.createDataFrame([], "gram string, cnt long")
+    cand = cnt.filter(F.col("cnt") >= kth).select("g")
+    with_text = docs.select(F.explode(grams).alias("gram")).withColumn(
+        "g", F.xxhash64("gram")
+    )
+    return (
+        with_text.join(F.broadcast(cand), "g", "left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def mixture_summary(
+    docs: DataFrame,
+    by: tuple[str, ...] = ("source", "lang"),
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-mix accounting: docs and BPE-ish tokens per domain stratum
+    (source × language by default), with each stratum's share of corpus
+    tokens as an e6-scaled long — the table a pipeline reads to set
+    sampling weights ("2 epochs of wiki, 0.3 of CC") before packing.
+
+    One shuffled aggregation (partial map-side combine) plus a broadcast
+    of the single-row corpus total — no second text pass, no window over
+    an unpartitioned frame (a sum() OVER () would single-partition the
+    stratum table; a 100-TB corpus can have millions of strata)."""
+    tc = docs.select(
+        *by,
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+                F.lit(TOKEN_PATTERN),
+                0,
+            )
+        )
+        .cast("long")
+        .alias("_toks"),
+    )
+    per = tc.groupBy(*by).agg(
+        F.count("*").alias("n_docs"), F.sum("_toks").alias("bpe_tokens")
+    )
+    tot = per.agg(F.sum("bpe_tokens").alias("_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        *by,
+        "n_docs",
+        "bpe_tokens",
+        F.round(F.col("bpe_tokens") * 1e6 / F.col("_tot"))
+        .cast("long")
+        .alias("token_share_e6"),
+    )
