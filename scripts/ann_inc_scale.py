@@ -196,6 +196,32 @@ def main() -> None:
 
         measured("window_adjudicate", lambda: adjudicate(False))
         measured("broadcast_adjudicate", lambda: adjudicate(True))
+
+        # maintenance: re-size the bucket space (what a compaction runs
+        # when the corpus outgrows its bootstrap sizing) — ONE projection
+        # pass over the stored vectors, no source re-read — then attest a
+        # tick against the re-banded state with config resolved purely
+        # from the NEW state's stamped metadata (bits/dim not passed)
+        rb_dir = f"{state_dir}_rb"
+
+        def reband():
+            inc.reband_state(state, bits=bits + 1).write.mode(
+                "overwrite"
+            ).parquet(rb_dir)
+            return {"new_bits": bits + 1}
+
+        measured("reband", reband)
+        state_rb = spark.read.parquet(rb_dir)
+
+        def post_reband():
+            pairs = inc.pairs_against(batch, state_rb)
+            n_pairs = pairs.count()
+            n_planted = pairs.filter(
+                F.col("vec_b") - 1_000_000_000 == F.col("vec_a")
+            ).count()
+            return {"n_pairs": n_pairs, "n_planted_found": n_planted}
+
+        measured("post_reband_adjudicate", post_reband)
         out["levels"][key] = level
         print(json.dumps({key: level}), flush=True)
 
