@@ -1,0 +1,114 @@
+"""top_ngrams + mixture_summary at corpus scale (309k seeded docs).
+
+top_ngrams is the EXACT corpus-wide heavy-hitter count: every distinct
+gram's global count must exist somewhere, so one exchange of the hashed
+gram stream is the information-theoretic floor — the plan's job is to
+make those rows as narrow as possible (bare longs) and combine map-side.
+On a Zipf corpus trigrams are nearly unique (top count ~8 at 309k), so
+map-side combine cannot shrink the stream much and the measured shuffle
+IS that floor. mixture_summary must stay ~zero-shuffle (stratum
+cardinality rows only).
+
+Writes CORPUS_OPS_SCALE.json.
+Usage: python scripts/corpus_ops_scale.py --cores 32 --n 300000
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ops_scale import UI_PORT, make_docs, stages_snapshot  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument("--n", type=int, default=300_000)
+    ap.add_argument("--out", default="CORPUS_OPS_SCALE.json")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{args.cores}]")
+        .appName(f"corpus-ops-scale-{args.cores}")
+        .config("spark.sql.shuffle.partitions", str(max(32, 2 * args.cores)))
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.retainedStages", "3000")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from similardocs_spark.operators.textstats import (
+        mixture_summary,
+        top_ngrams,
+    )
+
+    import tempfile
+
+    droot = tempfile.mkdtemp(prefix="corpus_ops_")
+    make_docs(spark, args.n).write.mode("overwrite").parquet(droot + "/docs")
+    docs = (
+        spark.read.parquet(droot + "/docs")
+        .withColumn("lang", (F.col("doc_id") % 3).cast("string"))
+        .withColumn("source", (F.col("doc_id") % 7).cast("string"))
+    )
+    out: dict = {
+        "protocol": "309k seeded corpus; wall + stage-windowed shuffle",
+        "cores": args.cores,
+        "n_docs": docs.count(),
+    }
+
+    def measured(name: str, fn):
+        spark.catalog.clearCache()
+        pre = {s["stageId"] for s in stages_snapshot()}
+        t = time.time()
+        extra = fn() or {}
+        wall = round(time.time() - t, 2)
+        stages = [s for s in stages_snapshot() if s["stageId"] not in pre]
+        out[name] = {
+            "wall_sec": wall,
+            "n_stages": len(stages),
+            "shuffleReadMB": round(
+                sum(s.get("shuffleReadBytes", 0) for s in stages) / 1e6, 1
+            ),
+            "shuffleWriteMB": round(
+                sum(s.get("shuffleWriteBytes", 0) for s in stages) / 1e6, 1
+            ),
+            **extra,
+        }
+        print(json.dumps({name: out[name]}), flush=True)
+
+    def run_top():
+        rows = top_ngrams(docs, n=3, k=20).collect()
+        return {
+            "n_rows": len(rows),
+            "top_gram": rows[0]["gram"],
+            "top_cnt": rows[0]["cnt"],
+        }
+
+    def run_mixture():
+        rows = mixture_summary(docs).collect()
+        share = sum(r["token_share_e6"] for r in rows)
+        return {"n_strata": len(rows), "share_sum_e6": share}
+
+    measured("top_ngrams_k20_n3", run_top)
+    measured("mixture_summary", run_mixture)
+
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
