@@ -1008,6 +1008,118 @@ LEFT JOIN hits ON d.doc_id = hits.doc_id
 """
 
 
+# -------------------------------------------------- 22b. sequence packing
+
+
+def q_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing offsets over the documents table's BPE-ish token counts —
+    the Spark side runs the distributed two-level prefix sum
+    (range-partitioned local cumsums + broadcast partition offsets), the
+    oracle the textbook single-stream window; identical output is the
+    point (the distributed plan IS a global running sum)."""
+    from .operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = textstats.token_counts(docs).select("doc_id", "bpe_tokens")
+    return pack_sequences(tc, seq_len=256, tokens_col="bpe_tokens")
+
+
+SQL_PACKING = f"""
+WITH tc AS (SELECT * FROM ({SQL_TOKEN_COUNTS}) t),
+c AS (
+  SELECT doc_id, bpe_tokens AS tk,
+         sum(bpe_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM tc
+)
+SELECT doc_id,
+  CAST(cum - tk AS BIGINT) AS start_tok,
+  CAST((cum - tk) // 256 AS BIGINT) AS seq_first,
+  CAST(CASE WHEN tk > 0 THEN (cum - 1) // 256
+            ELSE (cum - tk) // 256 END AS BIGINT) AS seq_last,
+  CAST(CASE WHEN tk > 0 THEN (cum - 1) // 256
+            ELSE (cum - tk) // 256 END
+       - (cum - tk) // 256 + 1 AS BIGINT) AS n_seqs
+FROM c
+"""
+
+
+# ----------------------------------------------------- 23. PII detect/redact
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministically inject PII into every 11th doc (the corpus itself
+    carries none) so the pair exercises real matches in both engines."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 ref 123456789"),
+    )
+    return docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, injected).otherwise(F.col("text")),
+    )
+
+
+def q_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import privacy
+
+    return privacy.pii_stats(_docs_with_pii(spark, sf_dir))
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redacted text itself is the output — string-hash parity pins that
+    the Java and RE2 regex engines replace identically."""
+    from .operators import privacy
+
+    return privacy.pii_redact(_docs_with_pii(spark, sf_dir))
+
+
+_SQL_PII_SRC = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.'
+                   || CAST(doc_id % 256 AS VARCHAR) || '.7 ref 123456789'
+              ELSE text END AS text
+  FROM documents
+"""
+
+def _sql_pii() -> str:
+    # generated from privacy.PII_PATTERNS — one source of truth for the
+    # regexes (DuckDB single-quoted literals pass backslashes through, and
+    # the patterns are RE2/Java-common by the module's contract)
+    from .operators.privacy import PII_PATTERNS
+
+    count = "len(regexp_extract_all(coalesce(text, ''), '{p}'))"
+    cols = ",\n  ".join(
+        "CAST(" + count.format(p=pat) + f" AS BIGINT) AS n_{name}"
+        for name, pat in PII_PATTERNS
+    )
+    total = " + ".join(count.format(p=pat) for _, pat in PII_PATTERNS)
+    return (
+        f"WITH src AS ({_SQL_PII_SRC})\n"
+        f"SELECT doc_id,\n  {cols},\n  ({total}) > 0 AS has_pii\nFROM src"
+    )
+
+
+def _sql_pii_redact() -> str:
+    from .operators.privacy import PII_PATTERNS
+
+    expr = "coalesce(text, '')"
+    for name, pat in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '<{name.upper()}>', 'g')"
+    return f"WITH src AS ({_SQL_PII_SRC})\nSELECT doc_id, {expr} AS text FROM src"
+
+
+SQL_PII = _sql_pii()
+SQL_PII_REDACT = _sql_pii_redact()
+
+
 OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_docs": q_dedup_docs,
@@ -1035,6 +1147,9 @@ OPS_QUERIES = {
     "decontam": q_decontam,
     "top_ngrams": q_top_ngrams,
     "mixture": q_mixture,
+    "pii": q_pii,
+    "pii_redact": q_pii_redact,
+    "packing": q_packing,
 }
 
 OPS_SQL = {
@@ -1064,4 +1179,7 @@ OPS_SQL = {
     "decontam": SQL_DECONTAM,
     "top_ngrams": SQL_TOP_NGRAMS,
     "mixture": SQL_MIXTURE,
+    "pii": SQL_PII,
+    "pii_redact": SQL_PII_REDACT,
+    "packing": SQL_PACKING,
 }

@@ -47,6 +47,7 @@ def test_textstats_plans_are_jvm_only(spark):
     none of the textstats operators schedules a Python eval node anymore
     (langid/quality/token_counts/fingerprint — both plan variants)."""
     from similardocs_spark.operators.decontam import decontaminate
+    from similardocs_spark.operators.privacy import pii_redact, pii_stats
     from similardocs_spark.operators.textstats import (
         fingerprint,
         langid,
@@ -72,6 +73,8 @@ def test_textstats_plans_are_jvm_only(spark):
         ("top_ngrams", top_ngrams(docs, n=2, k=3)),
         ("mixture_summary", mixture_summary(docs_m)),
         ("decontaminate", decontaminate(docs, docs.limit(2))),
+        ("pii_stats", pii_stats(docs)),
+        ("pii_redact", pii_redact(docs)),
     ):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
