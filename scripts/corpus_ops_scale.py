@@ -105,6 +105,49 @@ def main() -> None:
     measured("top_ngrams_k20_n3", run_top)
     measured("mixture_summary", run_mixture)
 
+    from similardocs_spark.operators.packing import pack_sequences
+    from similardocs_spark.operators.privacy import pii_stats
+
+    def run_pii():
+        rows = (
+            pii_stats(docs)
+            .agg(
+                F.sum("n_email").alias("e"),
+                F.sum(F.col("has_pii").cast("long")).alias("h"),
+            )
+            .collect()[0]
+        )
+        return {"n_emails": rows["e"], "n_docs_with_pii": rows["h"]}
+
+    measured("pii_stats", run_pii)
+
+    # packing over 30M synthetic (id, tokens) rows — the prefix-sum input
+    # is narrow, so scale the ROW count well past the doc corpus to make
+    # the range exchange visible
+    n_pack = 30_000_000
+    tc = spark.range(n_pack).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 997).alias("tokens")
+    )
+
+    def run_packing():
+        packed = pack_sequences(tc, seq_len=2048)
+        agg = packed.agg(
+            F.count("*").alias("n"),
+            F.max(F.col("start_tok") + F.lit(0)).alias("max_start"),
+            F.max("seq_last").alias("max_seq"),
+        ).collect()[0]
+        # contiguity attestation: total tokens == sum of inputs exactly
+        total = tc.agg(F.sum("tokens")).collect()[0][0]
+        last = packed.orderBy(F.desc("start_tok")).limit(1).collect()[0]
+        assert last["start_tok"] + (n_pack - 1) % 997 == total, "gap!"
+        return {
+            "n_rows": agg["n"],
+            "n_sequences": agg["max_seq"] + 1,
+            "stream_total_tokens": total,
+        }
+
+    measured("packing_30M_rows", run_packing)
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     spark.stop()
