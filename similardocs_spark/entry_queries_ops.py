@@ -1044,6 +1044,46 @@ FROM c
 """
 
 
+# -------------------------------------------------- 22c. deterministic sample
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample over documents: src0 at 80%, src1
+    at 30%, everything else at 10% — membership is md5-derived, so the
+    oracle re-derives the exact same sample (not just the same size)."""
+    from .operators.sampling import sample_stratified
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_stratified(
+        docs, {"src0": 0.8, "src1": 0.3}, by="source", default_rate=0.1
+    ).select("doc_id", "source", "lang")
+
+
+def _sql_sample() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hexval = " + ".join(
+        f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    def cut(r: float) -> int:
+        return int(round(r * 2**32))
+
+    return f"""
+WITH h AS (
+  SELECT doc_id, source, lang,
+         md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+u AS (SELECT doc_id, source, lang, {hexval} AS u32 FROM h)
+SELECT doc_id, source, lang FROM u
+WHERE u32 < CASE WHEN source = 'src0' THEN {cut(0.8)}
+                 WHEN source = 'src1' THEN {cut(0.3)}
+                 ELSE {cut(0.1)} END
+"""
+
+
+SQL_SAMPLE = _sql_sample()
+
+
 # ----------------------------------------------------- 23. PII detect/redact
 
 
@@ -1150,6 +1190,7 @@ OPS_QUERIES = {
     "pii": q_pii,
     "pii_redact": q_pii_redact,
     "packing": q_packing,
+    "sample": q_sample,
 }
 
 OPS_SQL = {
@@ -1182,4 +1223,5 @@ OPS_SQL = {
     "pii": SQL_PII,
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,
+    "sample": SQL_SAMPLE,
 }
