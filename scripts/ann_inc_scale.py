@@ -197,6 +197,24 @@ def main() -> None:
         measured("window_adjudicate", lambda: adjudicate(False))
         measured("broadcast_adjudicate", lambda: adjudicate(True))
 
+        # full tick through the PERSISTENT state (adjudicate + the tick's
+        # own partition write) — the streaming-ingest cost, text edition's
+        # banded_full_tick mirror
+        from similardocs_spark.operators.ann_state import VectorDedupState
+
+        st = VectorDedupState(
+            spark, f"{droot}/vstate_{n_corpus}", dim=DIM, bits=bits
+        )
+        t0 = time.time()
+        st.bootstrap(spark.read.parquet(state_dir).select("vec_id", "embedding"))
+        level["state_bootstrap_sec"] = round(time.time() - t0, 1)
+
+        def state_full_tick():
+            accepted, pairs = st.tick(batch, "t_measure")
+            return {"n_accepted": accepted.count(), "n_pairs": pairs.count()}
+
+        measured("state_full_tick", state_full_tick)
+
         # maintenance: re-size the bucket space (what a compaction runs
         # when the corpus outgrows its bootstrap sizing) — ONE projection
         # pass over the stored vectors, no source re-read — then attest a
