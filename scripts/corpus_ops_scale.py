@@ -148,6 +148,49 @@ def main() -> None:
 
     measured("packing_30M_rows", run_packing)
 
+    # duplicate spans: the seeded corpus plants n/100 exact copies (full
+    # coverage by construction) and n/50 near copies (1-in-40 tokens
+    # edited -> 39-token clean runs, each a guaranteed >= 20-token dup
+    # span), so the attestations are exact. Both strategies measured:
+    # broadcast shuffles bare gram longs but computes the window zip-chain
+    # twice; shuffle-join shuffles (doc_id, pos, h) rows once and lets
+    # ReusedExchange share the single exchange between the frequency agg
+    # and the attribution probe.
+    from similardocs_spark.operators.spandedup import duplicate_spans
+
+    n_exact = args.n // 100
+
+    def run_dup_spans(broadcast: bool):
+        def f():
+            agg = (
+                duplicate_spans(docs, n=20, broadcast=broadcast)
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum((F.col("n_dup_windows") > 0).cast("long")).alias(
+                        "flagged"
+                    ),
+                    F.sum(
+                        (F.col("dup_token_frac_e6") == 1_000_000).cast("long")
+                    ).alias("full_cov"),
+                    F.sum("dup_tokens").alias("dup_toks"),
+                    F.sum("n_tokens").alias("toks"),
+                )
+                .collect()[0]
+            )
+            assert agg["full_cov"] >= 2 * n_exact, (
+                f"exact twins must be fully covered: {agg['full_cov']}"
+            )
+            return {
+                "n_docs_flagged": agg["flagged"],
+                "n_docs_full_coverage": agg["full_cov"],
+                "dup_token_frac": round(agg["dup_toks"] / agg["toks"], 4),
+            }
+
+        return f
+
+    measured("dup_spans_n20_broadcast", run_dup_spans(True))
+    measured("dup_spans_n20_shuffle", run_dup_spans(False))
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     spark.stop()

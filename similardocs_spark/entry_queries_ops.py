@@ -1160,6 +1160,58 @@ SQL_PII = _sql_pii()
 SQL_PII_REDACT = _sql_pii_redact()
 
 
+# ------------------------------------------------ 26. duplicate-span dedup
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span statistics over the documents table (stride-1
+    20-token window hashing — the Spark-shardable form of Lee et al.'s
+    suffix-array ExactSubstr; the sf corpora contain natural near-dup
+    plants, so real duplicated windows exist at every sf)."""
+    from .operators.spandedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(docs, n=20)
+
+
+# The oracle groups by the window TEXT where Spark groups by its xxhash64
+# (the engine's established pre-shuffle hashing convention — repetition,
+# decontam); coverage is the same merged-interval fold, via lag() instead
+# of Spark's row-local aggregate over sorted positions.
+SQL_DUP_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, i + 1, i + 20), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 19)) AS i
+        FROM w WHERE len(ws) >= 20)
+),
+dup AS (SELECT g FROM wins GROUP BY g HAVING count(*) >= 2),
+steps AS (
+  SELECT doc_id, least(20, pos - coalesce(
+           lag(pos) OVER (PARTITION BY doc_id ORDER BY pos), pos - 20)) AS st
+  FROM wins JOIN dup USING (g)
+),
+cov AS (
+  SELECT doc_id, count(*) AS n_dup_windows, sum(st) AS dup_tokens
+  FROM steps GROUP BY doc_id
+)
+SELECT w.doc_id,
+  CAST(len(ws) AS BIGINT) AS n_tokens,
+  CAST(greatest(len(ws) - 19, 0) AS BIGINT) AS n_windows,
+  CAST(coalesce(cov.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(cov.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  CAST(round(coalesce(cov.dup_tokens, 0) * 1e6
+             / greatest(len(ws), 1)) AS BIGINT) AS dup_token_frac_e6
+FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+"""
+
+
 OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_docs": q_dedup_docs,
@@ -1191,6 +1243,7 @@ OPS_QUERIES = {
     "pii_redact": q_pii_redact,
     "packing": q_packing,
     "sample": q_sample,
+    "dup_spans": q_dup_spans,
 }
 
 OPS_SQL = {
@@ -1224,4 +1277,5 @@ OPS_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,
     "sample": SQL_SAMPLE,
+    "dup_spans": SQL_DUP_SPANS,
 }
