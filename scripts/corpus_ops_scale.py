@@ -191,6 +191,52 @@ def main() -> None:
     measured("dup_spans_n20_broadcast", run_dup_spans(True))
     measured("dup_spans_n20_shuffle", run_dup_spans(False))
 
+    # the removal ACTION, then the convergence attestation: after keeping
+    # exactly one canonical copy of every duplicated span, a re-detect
+    # over the stripped corpus must find (near-)zero duplicated windows —
+    # "near" because token removal can create new accidental adjacencies.
+    from similardocs_spark.operators.spandedup import strip_duplicate_spans
+
+    strip_dir = droot + "/stripped"
+
+    def run_strip():
+        stripped = strip_duplicate_spans(docs, n=20)
+        stripped.write.mode("overwrite").parquet(strip_dir)
+        agg = (
+            spark.read.parquet(strip_dir)
+            .agg(
+                F.sum((F.col("n_dropped_tokens") > 0).cast("long")).alias(
+                    "docs_stripped"
+                ),
+                F.sum("n_dropped_tokens").alias("toks_dropped"),
+            )
+            .collect()[0]
+        )
+        return {
+            "n_docs_stripped": agg["docs_stripped"],
+            "n_tokens_dropped": agg["toks_dropped"],
+        }
+
+    measured("strip_spans_n20", run_strip)
+
+    def run_redetect():
+        agg = (
+            duplicate_spans(spark.read.parquet(strip_dir), n=20)
+            .agg(
+                F.sum("n_dup_windows").alias("dup_w"),
+                F.sum("n_windows").alias("w"),
+            )
+            .collect()[0]
+        )
+        residual = agg["dup_w"] / max(agg["w"], 1)
+        assert residual < 0.001, f"strip did not converge: {residual}"
+        return {
+            "residual_dup_windows": agg["dup_w"],
+            "total_windows": agg["w"],
+        }
+
+    measured("post_strip_redetect", run_redetect)
+
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     spark.stop()

@@ -1212,6 +1212,111 @@ FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
 """
 
 
+# ---------------------------------------------- 26b. duplicate-span removal
+
+
+def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-removal ACTION: every non-canonical occurrence of a duplicated
+    20-token window is stripped, the (doc_id, pos)-minimal copy survives;
+    untouched docs keep byte-identical text. Both the rewritten STRINGS
+    and the drop counts are oracle-checked."""
+    from .operators.spandedup import strip_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return strip_duplicate_spans(docs, n=20)
+
+
+SQL_STRIP_SPANS = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws,
+         list_filter(regexp_split_to_array(coalesce(text, ''), '[ \n]+'),
+                     x -> len(x) > 0) AS ts
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(list_slice(ws, i + 1, i + 20), ' ') AS g
+  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 19)) AS i
+        FROM w WHERE len(ws) >= 20)
+),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY g) AS c
+  FROM wins
+),
+dropwin AS (SELECT doc_id, pos FROM ranked WHERE c >= 2 AND rn > 1),
+tok AS (
+  SELECT doc_id, unnest(ts) AS t, unnest(range(len(ts))) AS i FROM w
+),
+dropped AS (
+  SELECT DISTINCT tok.doc_id, tok.i
+  FROM tok JOIN dropwin d
+    ON tok.doc_id = d.doc_id AND tok.i >= d.pos AND tok.i < d.pos + 20
+),
+kept AS (
+  SELECT tok.doc_id,
+         coalesce(string_agg(tok.t, ' ' ORDER BY tok.i)
+                  FILTER (WHERE dropped.i IS NULL), '') AS new_text,
+         count(*) FILTER (WHERE dropped.i IS NULL) AS n_kept,
+         count(*) AS n_toks
+  FROM tok LEFT JOIN dropped
+    ON tok.doc_id = dropped.doc_id AND tok.i = dropped.i
+  GROUP BY tok.doc_id
+),
+affected AS (SELECT DISTINCT doc_id FROM dropwin)
+SELECT d.doc_id, d.lang, d.source, d.n_chars,
+  CASE WHEN a.doc_id IS NULL THEN d.text ELSE k.new_text END AS text,
+  CAST(CASE WHEN a.doc_id IS NULL THEN 0
+            ELSE k.n_toks - k.n_kept END AS BIGINT) AS n_dropped_tokens
+FROM documents d
+LEFT JOIN affected a ON d.doc_id = a.doc_id
+LEFT JOIN kept k ON d.doc_id = k.doc_id
+"""
+
+
+# ---------------------------------------------------- 27. sessionization
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-minute silence
+    splits a user's activity): one exchange on user_id, window lag for
+    boundaries, running-sum ordinals, co-partitioned aggregation.
+    Durations are integer microseconds — cross-engine exact."""
+    from .operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_minutes=30)
+
+
+_SESS_GAP_US = 30 * 60_000_000
+
+SQL_SESSIONIZE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+f AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                   > {_SESS_GAP_US} THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS UNBOUNDED PRECEDING) + 1 AS session_seq
+  FROM f
+)
+SELECT user_id,
+       CAST(session_seq AS BIGINT) AS session_seq,
+       make_timestamp(min(us)) AS session_start,
+       make_timestamp(max(us)) AS session_end,
+       count(*) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 OPS_QUERIES = {
     "exact_dedup": q_exact_dedup,
     "dedup_docs": q_dedup_docs,
@@ -1244,6 +1349,8 @@ OPS_QUERIES = {
     "packing": q_packing,
     "sample": q_sample,
     "dup_spans": q_dup_spans,
+    "strip_spans": q_strip_spans,
+    "sessionize": q_sessionize,
 }
 
 OPS_SQL = {
@@ -1278,4 +1385,6 @@ OPS_SQL = {
     "packing": SQL_PACKING,
     "sample": SQL_SAMPLE,
     "dup_spans": SQL_DUP_SPANS,
+    "strip_spans": SQL_STRIP_SPANS,
+    "sessionize": SQL_SESSIONIZE,
 }

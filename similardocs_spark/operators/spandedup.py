@@ -72,7 +72,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["duplicate_spans", "DEFAULT_SPAN_TOKENS"]
+__all__ = [
+    "duplicate_spans",
+    "strip_duplicate_spans",
+    "DEFAULT_SPAN_TOKENS",
+]
 
 # Lee et al. use 50 BPE tokens; whitespace tokens are coarser, and the
 # engine's quality gates work at word granularity — 20 words ≈ the same
@@ -180,5 +184,89 @@ def duplicate_spans(
             )
             .cast("long")
             .alias("dup_token_frac_e6"),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    docs: DataFrame,
+    n: int = DEFAULT_SPAN_TOKENS,
+    text_col: str = "text",
+    min_count: int = 2,
+    broadcast: bool = True,
+) -> DataFrame:
+    """The removal ACTION for duplicate spans (Lee et al. keep one copy):
+    every duplicated window gets a corpus-canonical occurrence — the
+    (doc_id, pos)-minimal one — and every token covered by a
+    NON-canonical occurrence is dropped; the canonical copy survives
+    verbatim. Deterministic under any partitioning (canonicity is a pure
+    min over the occurrence set).
+
+    Returns (doc_id, text, n_dropped_tokens); docs with nothing to drop
+    keep their ORIGINAL text byte-identical (no whitespace rewriting).
+    Dropped docs' text is rebuilt from the surviving original-case tokens
+    joined by single spaces (tokenization for window identity is
+    lowercased, removal applies to the case-preserving token at the same
+    position).
+
+    Plan shape: same two passes as `duplicate_spans` — the frequency
+    exchange additionally carries min(struct(doc_id, pos)) per window
+    hash (same bare-key shuffle, one extra 12-byte aggregate value), and
+    the per-doc drop-position sets (the duplicated minority) join back to
+    the documents broadcast when `broadcast=True` (duplication is the
+    anomaly; flip to False when a large corpus fraction is duplicated and
+    the sets outgrow a broadcast).
+    """
+    ntok, hashes = _window_hashes(F.col(text_col), n)
+    base = docs.select("doc_id", hashes.alias("_h"))
+    wins = base.select("doc_id", F.posexplode("_h").alias("pos", "h"))
+    canon = (
+        wins.groupBy("h")
+        .agg(
+            F.count("*").alias("_c"),
+            F.min(F.struct("doc_id", "pos")).alias("_keep"),
+        )
+        .filter(F.col("_c") >= min_count)
+        .select("h", "_keep")
+    )
+    if broadcast:
+        canon = F.broadcast(canon)
+    drops = (
+        wins.join(canon, "h")
+        .filter(
+            (F.col("doc_id") != F.col("_keep.doc_id"))
+            | (F.col("pos") != F.col("_keep.pos"))
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("pos")).alias("_dp"))
+    )
+    if broadcast:
+        drops = F.broadcast(drops)
+    # original-case tokens at the SAME positions as the window tokens
+    # (same split + empty-drop, minus the lower())
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), "[ \n]+"),
+        lambda x: F.length(x) > 0,
+    )
+    kept = F.filter(
+        F.col("_t"),
+        lambda x, i: ~F.exists(
+            F.col("_dp"), lambda p: (i >= p) & (i < p + n)
+        ),
+    )
+    out_cols = [c for c in docs.columns if c != text_col]
+    return (
+        docs.select(*docs.columns, toks.alias("_t"))
+        .join(drops, "doc_id", "left")
+        .select(
+            *out_cols,
+            F.when(F.col("_dp").isNull(), F.col(text_col))
+            .otherwise(F.array_join(kept, " "))
+            .alias(text_col),
+            F.when(
+                F.col("_dp").isNull(), F.lit(0).cast("long")
+            )
+            .otherwise((F.size("_t") - F.size(kept)).cast("long"))
+            .alias("n_dropped_tokens"),
         )
     )

@@ -3,7 +3,10 @@ from __future__ import annotations
 
 import pytest
 
-from similardocs_spark.operators.spandedup import duplicate_spans
+from similardocs_spark.operators.spandedup import (
+    duplicate_spans,
+    strip_duplicate_spans,
+)
 
 pytestmark = pytest.mark.usefixtures("spark")
 
@@ -116,4 +119,80 @@ def test_broadcast_and_shuffle_strategies_agree(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     a = sorted(map(tuple, duplicate_spans(docs, n=N, broadcast=True).collect()))
     b = sorted(map(tuple, duplicate_spans(docs, n=N, broadcast=False).collect()))
+    assert a == b
+
+
+def _py_strip(docs: list[tuple[int, str]], n: int) -> dict[int, tuple]:
+    from collections import defaultdict
+
+    occ = defaultdict(list)  # window string -> [(doc_id, pos)]
+    toks = {}
+    for did, text in docs:
+        w = _toks(text)
+        toks[did] = [t for t in text.replace("\n", " ").split(" ") if t]
+        for i in range(len(w) - n + 1):
+            occ[" ".join(w[i : i + n])].append((did, i))
+    drops = defaultdict(set)
+    for positions in occ.values():
+        if len(positions) < 2:
+            continue
+        keep = min(positions)
+        for did, p in positions:
+            if (did, p) != keep:
+                drops[did].update(range(p, p + n))
+    out = {}
+    for did, text in docs:
+        if did not in drops:
+            out[did] = (text, 0)
+        else:
+            kept = [t for i, t in enumerate(toks[did]) if i not in drops[did]]
+            out[did] = (" ".join(kept), len(toks[did]) - len(kept))
+    return out
+
+
+def test_strip_matches_python_recompute(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in strip_duplicate_spans(docs, n=N).collect()
+    }
+    assert got == _py_strip(DOCS, N)
+
+
+def test_strip_keeps_exactly_one_copy(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r for r in strip_duplicate_spans(docs, n=N).collect()
+    }
+    # canonical occurrence = minimal (doc_id, pos): doc 0 keeps the shared
+    # span verbatim, docs 1 and 6 lose it (10 tokens each)
+    assert rows[0]["n_dropped_tokens"] == 0
+    assert SHARED in rows[0]["text"]
+    assert rows[1]["n_dropped_tokens"] == 10
+    assert SHARED not in rows[1]["text"].lower()
+    assert rows[6]["n_dropped_tokens"] == 10
+    # untouched docs keep ORIGINAL text byte-identical (no ws rewriting)
+    assert rows[2]["text"] == DOCS[2][1]
+    assert rows[5]["text"] == ""
+    # doc 1's surroundings survive
+    assert rows[1]["text"].startswith("one two three")
+    assert rows[1]["text"].endswith("four five")
+
+
+def test_strip_within_doc_repeat_keeps_first(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r
+        for r in strip_duplicate_spans(docs, n=4).collect()
+    }
+    # doc 3 repeats "mark alpha omega zed" at pos 2 and 6: the first stays
+    t = rows[3]["text"]
+    assert t.count("mark alpha omega zed") == 1
+    assert rows[3]["n_dropped_tokens"] == 4
+
+
+def test_strip_strategies_agree(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(map(tuple, strip_duplicate_spans(docs, n=N, broadcast=True).collect()))
+    b = sorted(map(tuple, strip_duplicate_spans(docs, n=N, broadcast=False).collect()))
     assert a == b

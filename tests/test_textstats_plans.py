@@ -48,7 +48,10 @@ def test_textstats_plans_are_jvm_only(spark):
     (langid/quality/token_counts/fingerprint — both plan variants)."""
     from similardocs_spark.operators.decontam import decontaminate
     from similardocs_spark.operators.privacy import pii_redact, pii_stats
-    from similardocs_spark.operators.spandedup import duplicate_spans
+    from similardocs_spark.operators.spandedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
     from similardocs_spark.operators.textstats import (
         fingerprint,
         langid,
@@ -77,6 +80,7 @@ def test_textstats_plans_are_jvm_only(spark):
         ("pii_stats", pii_stats(docs)),
         ("pii_redact", pii_redact(docs)),
         ("duplicate_spans", duplicate_spans(docs, n=3)),
+        ("strip_duplicate_spans", strip_duplicate_spans(docs, n=3)),
     ):
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
