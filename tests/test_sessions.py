@@ -90,6 +90,30 @@ def test_batch_single_exchange(spark):
     assert plan.count("Exchange (") == 1
 
 
+def test_randomized_users_match_python(spark):
+    """200 seeded random users — tied timestamps, duplicate events,
+    micro/huge gaps — in ONE job vs the python recompute."""
+    import random
+
+    rng = random.Random(42)
+    events, eid = [], 0
+    for uid in range(200):
+        n = rng.randint(1, 12)
+        t = rng.uniform(0, 50)
+        for _ in range(n):
+            events.append(_ev(eid, uid, round(t, 3)))
+            eid += 1
+            step = rng.choice([0, 0.001, 1, 29.9, 30.0001, 31, 400])
+            t += step
+    ev = spark.createDataFrame(events, SCHEMA)
+    got = {
+        (r["user_id"], r["session_seq"], r["session_start"],
+         r["session_end"], r["n_events"], r["duration_us"])
+        for r in sessionize(ev, gap_minutes=GAP_MIN).collect()
+    }
+    assert got == _py_sessions(events, GAP_MIN)
+
+
 @pytest.mark.spark
 def test_stream_matches_batch(spark, tmp_path):
     from similardocs_spark.operators.sessions import sessionize_stream

@@ -191,6 +191,33 @@ def test_strip_within_doc_repeat_keeps_first(spark):
     assert rows[3]["n_dropped_tokens"] == 4
 
 
+def test_randomized_corpus_matches_python(spark):
+    """150 seeded random docs over a 3-token alphabet (duplicate windows
+    abound, incl. within-doc repeats) — one job each for detect + strip
+    vs the python recomputes."""
+    import random
+
+    rng = random.Random(7)
+    docs = [
+        (i, " ".join(rng.choice("ab cd EF".split()) for _ in range(rng.randint(0, 30))))
+        for i in range(150)
+    ]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: {k: r[k] for k in (
+            "n_tokens", "n_windows", "n_dup_windows", "dup_tokens",
+            "dup_token_frac_e6",
+        )}
+        for r in duplicate_spans(sdf, n=3).collect()
+    }
+    assert got == _py_spans(docs, 3)
+    got_strip = {
+        r["doc_id"]: (r["text"], r["n_dropped_tokens"])
+        for r in strip_duplicate_spans(sdf, n=3).collect()
+    }
+    assert got_strip == _py_strip(docs, 3)
+
+
 def test_strip_strategies_agree(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string")
     a = sorted(map(tuple, strip_duplicate_spans(docs, n=N, broadcast=True).collect()))
