@@ -219,6 +219,49 @@ def main() -> None:
 
     measured("strip_spans_n20", run_strip)
 
+    # sessionization over 30M synthetic events with 2000x user skew
+    # (quadratic bucketing: user u owns 2u+1 of every 1M-event block, so
+    # user 999 has ~60k events vs user 0's 30) — the per-user window is a
+    # LINEAR scan after the one exchange, so a power user costs its row
+    # count, not its square. The user's k-th event is ROW-LOCAL
+    # arithmetic (no generator window polluting the measured plan):
+    # events 120 s apart with every 50th gap widened to 3600 s, so every
+    # complete session has exactly 50 events — attested.
+    from similardocs_spark.operators.sessions import sessionize
+
+    n_ev = 30_000_000
+
+    def run_sessionize():
+        M = 1_000_000
+        m = F.col("id") % M
+        u = F.floor(F.sqrt(m.cast("double")))
+        k = (F.col("id") - m) / M * (2 * u + 1) + (m - u * u)
+        ev = spark.range(n_ev).select(
+            F.col("id").alias("event_id"),
+            u.alias("user_id"),
+            F.timestamp_seconds(
+                (k * 120).cast("long")
+                + F.floor(k / 50) * 3600
+            ).alias("ts"),
+        )
+        sess = sessionize(ev, gap_minutes=30)
+        agg = sess.agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            F.max("n_events").alias("max_sess_events"),
+        ).collect()[0]
+        assert agg["n_events"] == n_ev
+        # every complete block of 50 events is one session (gap 3600 >
+        # 30 min splits; within-block 120 s extends)
+        assert agg["max_sess_events"] == 50
+        return {
+            "n_sessions": agg["n_sessions"],
+            "n_events": agg["n_events"],
+            "max_session_events": agg["max_sess_events"],
+        }
+
+    measured("sessionize_30M_events", run_sessionize)
+
     def run_redetect():
         agg = (
             duplicate_spans(spark.read.parquet(strip_dir), n=20)
