@@ -48,7 +48,16 @@ DEFAULT_N = 13
 def _gram_hashes(text_col, n: int):
     """Row-local: distinct xxhash64 hashes of the n-token shingles of
     `text_col` (lowercased, ws-split). Empty array when the doc is shorter
-    than n tokens."""
+    than n tokens.
+
+    The n-step zip_with chain is the MEASURED fastest form of this
+    projection (GRAM_FORM_AB.json, 103k docs, n=20, interleaved in one
+    session): chain 35-44 s vs 110 s for transform-over-sequence with
+    slice+array_join, 117 s for hashing sliced per-token-hash arrays,
+    45 s for a log-depth doubling chain — despite the chain's higher
+    nominal char traffic. The transform forms only win cold on tiny
+    inputs (codegen compile cost); do not swap this for one of them
+    without re-running scripts/gram_form_ab.py."""
     w = F.filter(
         F.split(F.lower(F.coalesce(text_col, F.lit(""))), "[ \n]+"),
         lambda x: F.length(x) > 0,

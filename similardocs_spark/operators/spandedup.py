@@ -86,7 +86,13 @@ DEFAULT_SPAN_TOKENS = 20
 
 def _window_hashes(text_col, n: int):
     """Row-local: xxhash64 of every stride-1 n-token window (lowercased,
-    ws-split), in position order. Empty array when the doc has < n tokens."""
+    ws-split), in position order. Empty array when the doc has < n tokens.
+
+    Keep the zip_with chain: it is the measured-fastest form of the
+    projection at corpus scale (GRAM_FORM_AB.json — 2.5x faster than
+    transform-over-sequence slice forms, 1.3x faster than a log-depth
+    doubling chain at 103k docs / n=20; the slice forms' small-input
+    win is codegen compile cost only and inverts at scale)."""
     w = F.filter(
         F.split(F.lower(F.coalesce(text_col, F.lit(""))), "[ \n]+"),
         lambda x: F.length(x) > 0,
