@@ -31,6 +31,12 @@ def main() -> None:
     ap.add_argument("--cores", type=int, default=32)
     ap.add_argument("--n", type=int, default=300_000)
     ap.add_argument("--out", default="CORPUS_OPS_SCALE.json")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma list of measurement names to run; others skipped and "
+        "the output MERGES into an existing --out instead of replacing it",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -69,7 +75,11 @@ def main() -> None:
         "n_docs": docs.count(),
     }
 
+    only = set(args.only.split(",")) if args.only else None
+
     def measured(name: str, fn):
+        if only is not None and name not in only:
+            return
         spark.catalog.clearCache()
         pre = {s["stageId"] for s in stages_snapshot()}
         t = time.time()
@@ -89,8 +99,11 @@ def main() -> None:
         }
         print(json.dumps({name: out[name]}), flush=True)
 
+    exact_top: list = []
+
     def run_top():
         rows = top_ngrams(docs, n=3, k=20).collect()
+        exact_top[:] = [(r["gram"], r["cnt"]) for r in rows]
         return {
             "n_rows": len(rows),
             "top_gram": rows[0]["gram"],
@@ -103,6 +116,74 @@ def main() -> None:
         return {"n_strata": len(rows), "share_sum_e6": share}
 
     measured("top_ngrams_k20_n3", run_top)
+
+    def run_top_approx():
+        from similardocs_spark.operators.textstats import top_ngrams_approx
+
+        rows = top_ngrams_approx(docs, n=3, k=20, p=0.05).collect()
+        got = [(r["gram"], r["cnt"]) for r in rows]
+        overlap = len(set(got) & set(exact_top))
+        return {
+            "n_rows": len(rows),
+            "top_gram": rows[0]["gram"],
+            "top_cnt": rows[0]["cnt"],
+            "rows_matching_exact_top20": overlap,
+            "equals_exact": got == exact_top,
+        }
+
+    measured("top_ngrams_approx_p05", run_top_approx)
+
+    # The raw Zipf corpus has NO heavy hitters (top trigram count 8 at
+    # 309k — expected sampled occurrences 0.4 at p=0.05), so the sampled
+    # pass correctly finds nothing there; the operator's regime is
+    # boilerplate discovery. Plant 20 boilerplate trigrams with counts
+    # 6180 down to 309 (all >> the count-8 noise floor; the rarest
+    # expects ~15 sampled occurrences) and require exact recovery.
+    m = F.col("doc_id") % 1000
+    j = (m / 40).cast("int")
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            (j < 20) & ((m - j * 40) < (20 - j)),
+            F.concat(
+                F.col("text"),
+                F.lit(" plantedboilera"),
+                j.cast("string"),
+                F.lit(" plantedboilerb"),
+                j.cast("string"),
+                F.lit(" plantedboilerc"),
+                j.cast("string"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    planted_exact: list = []
+
+    def run_top_planted_exact():
+        rows = top_ngrams(planted, n=3, k=20).collect()
+        planted_exact[:] = [(r["gram"], r["cnt"]) for r in rows]
+        n_plants = sum(
+            1 for g, _ in planted_exact if g.startswith("plantedboilera")
+        )
+        return {
+            "n_rows": len(rows),
+            "top_cnt": rows[0]["cnt"],
+            "kth_cnt": rows[-1]["cnt"],
+            "plants_in_top20": n_plants,
+        }
+
+    def run_top_planted_approx():
+        from similardocs_spark.operators.textstats import top_ngrams_approx
+
+        rows = top_ngrams_approx(planted, n=3, k=20, p=0.05).collect()
+        got = [(r["gram"], r["cnt"]) for r in rows]
+        return {
+            "n_rows": len(rows),
+            "rows_matching_exact_top20": len(set(got) & set(planted_exact)),
+            "equals_exact": got == planted_exact,
+        }
+
+    measured("top_ngrams_planted_exact", run_top_planted_exact)
+    measured("top_ngrams_planted_approx_p05", run_top_planted_approx)
     measured("mixture_summary", run_mixture)
 
     from similardocs_spark.operators.packing import pack_sequences
@@ -280,6 +361,11 @@ def main() -> None:
 
     measured("post_strip_redetect", run_redetect)
 
+    if only is not None and os.path.exists(args.out):
+        with open(args.out) as f:
+            merged = json.load(f)
+        merged.update({k: v for k, v in out.items() if k in only})
+        out = merged
     with open(args.out, "w") as f:
         json.dump(out, f, indent=2)
     spark.stop()

@@ -935,6 +935,61 @@ ORDER BY cnt DESC, gram LIMIT 20
 """
 
 
+def q_top_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampled-candidate top-20 trigrams: phase 1 shuffles only the
+    deterministic 20% occurrence sample (md5-keyed, the sampling.py
+    convention DuckDB replays digit-by-digit), phase 2 exact-counts the
+    candidates. Reported counts are exact; candidate selection is the
+    only approximation."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textstats.top_ngrams_approx(docs, n=3, k=20, p=0.2)
+
+
+def _sql_top_ngrams_approx() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hexval = " + ".join(
+        f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    cut = int(round(0.2 * 2**32))
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+occ AS (
+  SELECT doc_id, unnest(list_transform(range(len(ws) - 2),
+           i -> {{'pos': i,
+                  'gram': ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]}})) AS o
+  FROM w WHERE len(ws) >= 3
+),
+keyed AS (
+  SELECT o.gram AS gram,
+         md5('42|' || CAST(doc_id AS VARCHAR) || ':' ||
+             CAST(o.pos AS VARCHAR) || ':' || o.gram) AS h
+  FROM occ
+),
+sampled AS (SELECT gram FROM keyed WHERE {hexval} < {cut}),
+scnt AS (SELECT gram, count(*) AS c FROM sampled GROUP BY gram),
+bound AS (SELECT min(c) AS m FROM (SELECT c FROM scnt ORDER BY c DESC LIMIT 80)),
+cand AS (SELECT gram FROM scnt, bound WHERE c >= m),
+grams AS (
+  SELECT unnest(list_transform(range(len(ws) - 2),
+                               i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]))
+         AS gram
+  FROM w WHERE len(ws) >= 3
+)
+SELECT g.gram, CAST(count(*) AS BIGINT) AS cnt
+FROM grams g JOIN cand USING (gram)
+GROUP BY g.gram
+ORDER BY cnt DESC, gram LIMIT 20
+"""
+
+
+SQL_TOP_NGRAMS_APPROX = _sql_top_ngrams_approx()
+
+
 def q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return textstats.mixture_summary(docs)
@@ -1343,6 +1398,7 @@ OPS_QUERIES = {
     "media_features": q_media_features,
     "decontam": q_decontam,
     "top_ngrams": q_top_ngrams,
+    "top_ngrams_approx": q_top_ngrams_approx,
     "mixture": q_mixture,
     "pii": q_pii,
     "pii_redact": q_pii_redact,
@@ -1379,6 +1435,7 @@ OPS_SQL = {
     "media_features": SQL_MEDIA_FEATURES,
     "decontam": SQL_DECONTAM,
     "top_ngrams": SQL_TOP_NGRAMS,
+    "top_ngrams_approx": SQL_TOP_NGRAMS_APPROX,
     "mixture": SQL_MIXTURE,
     "pii": SQL_PII,
     "pii_redact": SQL_PII_REDACT,

@@ -413,6 +413,85 @@ def top_ngrams(
     )
 
 
+def top_ngrams_approx(
+    docs: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    p: float = 0.05,
+    cand_factor: int = 4,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """`top_ngrams` behind a sampled candidate pass — the dial past the
+    exact operator's shuffle floor (BASELINE.md: an EXACT corpus-wide
+    heavy hitter must exchange every distinct gram's count once; at
+    309k docs that floor is 1.4 GB and it grows with the corpus).
+
+    Two-pass shape:
+      1. CANDIDATES from a deterministic occurrence-level sample: each
+         (doc, pos, gram) occurrence is kept iff
+         uniform32(md5(seed|doc_id:pos:gram)) < p·2³² (the repo's
+         engine-portable sampling convention, operators/sampling.py) —
+         row-local, rerun-stable, replayed verbatim by the DuckDB
+         oracle. Only the sampled p-fraction of the gram stream
+         shuffles (as bare xxhash64 longs with map-side combine). The
+         candidate set is everything tied with the (cand_factor·k)-th
+         highest sampled count.
+      2. EXACT counts for candidates only: re-derive grams with text,
+         broadcast-semi-join to the candidate hash set, count, take k.
+
+    Reported counts are therefore EXACT; the approximation is only in
+    candidate selection — a true top-k gram is missed only if its
+    sampled count falls below the candidate boundary (occurrence
+    sampling keeps every heavy hitter w.h.p.: a gram with c occurrences
+    retains Binomial(c, p) ≥ 1 samples with prob 1-(1-p)^c, and the
+    cand_factor·k cushion absorbs sampling noise near the boundary).
+    With the default p=0.05 the phase-1 exchange is 5% of the exact
+    operator's; equality with `top_ngrams` at a given corpus is an
+    attestable property (see scripts/corpus_ops_scale.py).
+
+    Deterministic for a given (seed, p): membership depends on row
+    content only, never on partitioning or execution order, so the
+    result is stable across reruns, resumes, and cluster sizes.
+
+    Output: (gram, cnt), ordered (cnt DESC, gram ASC), ≤ k rows.
+    """
+    from .sampling import uniform32_col
+
+    if not 0.0 < p <= 1.0:
+        raise ValueError(f"p must be in (0, 1], got {p}")
+    grams = _word_grams(F.col(text_col), n)
+    occ = docs.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    key = F.concat_ws(":", F.col("_id"), F.col("pos"), F.col("gram"))
+    sampled = occ.filter(
+        uniform32_col(key, seed) < int(round(p * 2**32))
+    ).select(F.xxhash64("gram").alias("g"))
+    scnt = sampled.groupBy("g").agg(F.count("*").alias("cnt"))
+    boundary = (
+        scnt.orderBy(F.desc("cnt"))
+        .limit(cand_factor * k)
+        .agg(F.min("cnt"))
+        .collect()[0][0]
+    )
+    if boundary is None:
+        return docs.sparkSession.createDataFrame([], "gram string, cnt long")
+    cand = scnt.filter(F.col("cnt") >= boundary).select("g")
+    with_text = docs.select(F.explode(grams).alias("gram")).withColumn(
+        "g", F.xxhash64("gram")
+    )
+    return (
+        with_text.join(F.broadcast(cand), "g", "left_semi")
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 def mixture_summary(
     docs: DataFrame,
     by: tuple[str, ...] = ("source", "lang"),

@@ -56,6 +56,55 @@ def test_top_ngrams_empty_corpus(spark):
     assert top_ngrams(docs, n=3, k=5).collect() == []
 
 
+def test_top_ngrams_approx_recovers_exact_top_k(spark):
+    # a corpus with unambiguous heavy hitters: at p=1.0 the sampled pass
+    # IS the exact pass, so the result must equal top_ngrams verbatim;
+    # at p=0.5 with a 4x candidate cushion the planted hitters (hundreds
+    # of occurrences) must still all surface with EXACT counts.
+    from similardocs_spark.operators.textstats import top_ngrams_approx
+
+    # five planted trigram hitters with distinct counts (300, 270, ... 180)
+    # far above the singleton noise floor, so the exact top-5 is
+    # unambiguous and p=0.5 sampling keeps every hitter in candidates
+    rows = []
+    did = 0
+    for j in range(5):
+        for _ in range(300 - j * 30):
+            rows.append((did, f"hit{j}x hit{j}y hit{j}z"))
+            did += 1
+    for i in range(300):
+        rows.append((did, f"unique{i}a unique{i}b unique{i}c unique{i}d"))
+        did += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    exact = [(r["gram"], r["cnt"]) for r in top_ngrams(docs, n=3, k=5).collect()]
+    assert [c for _, c in exact] == [300, 270, 240, 210, 180]
+    for p in (1.0, 0.5):
+        got = [
+            (r["gram"], r["cnt"])
+            for r in top_ngrams_approx(docs, n=3, k=5, p=p).collect()
+        ]
+        assert got == exact, (p, got, exact)
+
+
+def test_top_ngrams_approx_deterministic_across_partitionings(spark):
+    from similardocs_spark.operators.textstats import top_ngrams_approx
+
+    rows = [(i, "alpha beta gamma delta alpha beta gamma") for i in range(50)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = top_ngrams_approx(docs, n=2, k=4, p=0.3).collect()
+    b = top_ngrams_approx(docs.repartition(7), n=2, k=4, p=0.3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_top_ngrams_approx_empty_and_bad_p(spark):
+    from similardocs_spark.operators.textstats import top_ngrams_approx
+
+    docs = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    assert top_ngrams_approx(docs, n=3, k=5, p=0.9).collect() == []
+    with pytest.raises(ValueError):
+        top_ngrams_approx(docs, n=3, k=5, p=0.0)
+
+
 def test_mixture_summary_matches_python(spark):
     import re
 
