@@ -184,6 +184,46 @@ def main() -> None:
 
     measured("top_ngrams_planted_exact", run_top_planted_exact)
     measured("top_ngrams_planted_approx_p05", run_top_planted_approx)
+
+    lm_scores_mat: list = []
+
+    def run_lm():
+        from similardocs_spark.operators.lm import bigram_lm_scores
+
+        # measured: the scoring pass itself, materialized once
+        sc = bigram_lm_scores(docs).localCheckpoint()
+        lm_scores_mat.append(sc)
+        agg = sc.agg(
+            F.count("*").alias("n"), F.sum("n_bigrams").alias("nb")
+        ).collect()[0]
+        return {"n_docs_scored": agg["n"], "total_bigrams": agg["nb"]}
+
+    measured("bigram_lm_scores", run_lm)
+
+    if lm_scores_mat:
+        # attestations OUTSIDE the measured window (they read the 309k-row
+        # materialized scores, not the corpus): exact-duplicate docs must
+        # score identically to their sources
+        sc = lm_scores_mat[0]
+        med = sc.agg(F.median("xent_e6")).collect()[0][0]
+        mism = (
+            sc.filter(F.col("doc_id") >= args.n)
+            .filter(F.col("doc_id") < args.n + args.n // 100)
+            .alias("d")
+            .join(
+                sc.alias("s"),
+                F.col("d.doc_id") - args.n == F.col("s.doc_id"),
+            )
+            .agg(
+                F.sum(
+                    (F.col("d.xent_e6") != F.col("s.xent_e6")).cast("long")
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        out["bigram_lm_scores"]["median_xent_e6"] = int(med)
+        out["bigram_lm_scores"]["exact_twin_score_mismatches"] = mism
+        print(json.dumps({"bigram_lm_scores": out["bigram_lm_scores"]}), flush=True)
     measured("mixture_summary", run_mixture)
 
     from similardocs_spark.operators.packing import pack_sequences

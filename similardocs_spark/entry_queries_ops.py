@@ -1010,6 +1010,52 @@ FROM per
 """.replace("{pat}", textstats.TOKEN_PATTERN)
 
 
+# -------------------------------------- 21c. bigram-LM perplexity (CCNet gate)
+
+
+def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-perplexity of every document under an add-one bigram LM fit
+    on the corpus itself — per-term e6-rounded nll so every aggregate is
+    an integer sum (order-independent, cross-engine exact)."""
+    from similardocs_spark.operators.lm import bigram_lm_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_lm_scores(docs).orderBy("doc_id")
+
+
+SQL_LM_SCORES = """
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+toks AS (SELECT unnest(ws) AS t FROM w),
+uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+v AS (SELECT count(*) AS vocab FROM uni),
+bis AS (
+  SELECT doc_id, unnest(list_transform(range(len(ws) - 1),
+           i -> {'w1': ws[i+1], 'g': ws[i+1] || ' ' || ws[i+2]})) AS o
+  FROM w WHERE len(ws) >= 2
+),
+big AS (SELECT o.g AS g, count(*) AS c2 FROM bis GROUP BY g),
+terms AS (
+  SELECT b.doc_id,
+         CAST(ROUND((log2(u.c1 + v.vocab) - log2(bg.c2 + 1)) * 1e6) AS BIGINT)
+           AS nll
+  FROM bis b JOIN big bg ON b.o.g = bg.g JOIN uni u ON b.o.w1 = u.t
+  CROSS JOIN v
+),
+per AS (SELECT doc_id, count(*) AS nb, SUM(nll) AS s FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.nb, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(per.s, 0) AS BIGINT) AS nll_e6,
+       CAST(ROUND(per.s * 1.0 / per.nb) AS BIGINT) AS xent_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 # --------------------------------------------- 22. benchmark decontamination
 
 
@@ -1400,6 +1446,7 @@ OPS_QUERIES = {
     "top_ngrams": q_top_ngrams,
     "top_ngrams_approx": q_top_ngrams_approx,
     "mixture": q_mixture,
+    "lm_scores": q_lm_scores,
     "pii": q_pii,
     "pii_redact": q_pii_redact,
     "packing": q_packing,
@@ -1437,6 +1484,7 @@ OPS_SQL = {
     "top_ngrams": SQL_TOP_NGRAMS,
     "top_ngrams_approx": SQL_TOP_NGRAMS_APPROX,
     "mixture": SQL_MIXTURE,
+    "lm_scores": SQL_LM_SCORES,
     "pii": SQL_PII,
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,
