@@ -155,6 +155,7 @@ def run_level(args) -> None:
         "exact_dedup_stats", "minhash_lsh_pairs", "minhash_oversized_audit",
         "deduplicate", "simhash_pairs", "simhash_oversized_audit",
         "simhash64_pairs", "simhash64_oversized_audit", "repetition_stats",
+        "bigram_lm_scores", "top_ngrams_approx",
     }
     need_docs = only is None or bool(only & _DOC_OPS)
     need_emb = only is None or bool(only - _DOC_OPS)
@@ -315,6 +316,32 @@ def run_level(args) -> None:
         return row.asDict()
 
     measured("repetition_stats", run_repetition)
+
+    def run_bigram_lm():
+        from similardocs_spark.operators.lm import bigram_lm_scores
+
+        row = (
+            bigram_lm_scores(docs)
+            .agg(
+                F.count("*").alias("n_docs_scored"),
+                F.sum("n_bigrams").alias("total_bigrams"),
+                F.median("xent_e6").alias("median_xent_e6"),
+            )
+            .collect()[0]
+        )
+        d = row.asDict()
+        d["median_xent_e6"] = int(d["median_xent_e6"])
+        return d
+
+    measured("bigram_lm_scores", run_bigram_lm)
+
+    def run_top_approx():
+        from similardocs_spark.operators.textstats import top_ngrams_approx
+
+        rows = top_ngrams_approx(docs, n=3, k=20, p=0.05).collect()
+        return {"n_rows": len(rows), "top_cnt": rows[0]["cnt"]}
+
+    measured("top_ngrams_approx", run_top_approx)
 
     # ---- IVF ANN: materialize the inverted-list table partitioned by cid
     # (the 100-TB serving shape: each probe prunes to n_probe partitions at
