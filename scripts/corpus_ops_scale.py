@@ -269,6 +269,33 @@ def main() -> None:
 
     measured("packing_30M_rows", run_packing)
 
+    def run_shuffle_order():
+        from similardocs_spark.operators.sampling import shuffle_order
+
+        # same 30M-row stream as packing: shuffle_order is the step
+        # BEFORE pack_sequences in a real pipeline (reproducible epoch
+        # order), so measure it on the identical input. Attest it's a
+        # permutation without a second global sort: sum and min/max of a
+        # 0..n-1 permutation are fixed.
+        ords = shuffle_order(tc, seed=42)
+        agg = ords.agg(
+            F.count("*").alias("n"),
+            F.sum("ord").alias("s"),
+            F.min("ord").alias("lo"),
+            F.max("ord").alias("hi"),
+        ).collect()[0]
+        n = agg["n"]
+        return {
+            "n_rows": n,
+            "is_permutation": (
+                agg["lo"] == 0
+                and agg["hi"] == n - 1
+                and agg["s"] == n * (n - 1) // 2
+            ),
+        }
+
+    measured("shuffle_order_30M_rows", run_shuffle_order)
+
     # duplicate spans: the seeded corpus plants n/100 exact copies (full
     # coverage by construction) and n/50 near copies (1-in-40 tokens
     # edited -> 39-token clean runs, each a guaranteed >= 20-token dup

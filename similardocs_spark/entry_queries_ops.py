@@ -1185,6 +1185,35 @@ WHERE u32 < CASE WHEN source = 'src0' THEN {cut(0.8)}
 SQL_SAMPLE = _sql_sample()
 
 
+def q_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order ordinal for every document —
+    distributed two-level prefix sum over (md5-u32, doc_id) rank; the
+    oracle replays the identical permutation with a window."""
+    from .operators.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return shuffle_order(docs).orderBy("doc_id")
+
+
+def _sql_shuffle_order() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hexval = " + ".join(
+        f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+u AS (SELECT doc_id, {hexval} AS u32 FROM h)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY u32, doc_id) - 1 AS BIGINT) AS ord
+FROM u ORDER BY doc_id
+"""
+
+
+SQL_SHUFFLE_ORDER = _sql_shuffle_order()
+
+
 # ----------------------------------------------------- 23. PII detect/redact
 
 
@@ -1451,6 +1480,7 @@ OPS_QUERIES = {
     "pii_redact": q_pii_redact,
     "packing": q_packing,
     "sample": q_sample,
+    "shuffle_order": q_shuffle_order,
     "dup_spans": q_dup_spans,
     "strip_spans": q_strip_spans,
     "sessionize": q_sessionize,
@@ -1489,6 +1519,7 @@ OPS_SQL = {
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,
     "sample": SQL_SAMPLE,
+    "shuffle_order": SQL_SHUFFLE_ORDER,
     "dup_spans": SQL_DUP_SPANS,
     "strip_spans": SQL_STRIP_SPANS,
     "sessionize": SQL_SESSIONIZE,

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sample_hash", "sample_stratified", "uniform32_col"]
+__all__ = ["sample_hash", "sample_stratified", "shuffle_order", "uniform32_col"]
 
 
 def uniform32_col(key_col, seed: int = 42):
@@ -72,3 +72,64 @@ def sample_stratified(
         else F.lit(int(round(default_rate * 2**32)))
     )
     return df.filter(uniform32_col(F.col(key_col), seed) < cut)
+
+
+def shuffle_order(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global SHUFFLE ordinal per row — the reproducible
+    training-order step between sampling and `pack_sequences` (every
+    pretraining pipeline shuffles document order; the order must be
+    stable across reruns/resumes and changeable per epoch by seed).
+
+    ord = dense 0-based rank of (uniform32(md5(seed|id)), id) — the md5
+    convention of this module, so the permutation is partitioning- and
+    execution-order-independent and the DuckDB oracle replays it. The
+    id tie-break makes the order total even when two keys collide in
+    the 32-bit hash (expected ~n²/2³³ collisions: real at corpus scale).
+
+    A `row_number() OVER (ORDER BY hash)` would single-task the corpus;
+    this is the same distributed two-level prefix sum as
+    operators/packing.pack_sequences (its docstring has the recipe):
+    one range exchange of (id, hash) rows + a partition-count-sized
+    driver action, scanning each range partition in parallel.
+
+    Returns (id_col, ord). Compose: `shuffle_order` → join ordinals →
+    `pack_sequences(..., id_col="ord")` packs the shuffled stream.
+    New epoch = new seed.
+    """
+    from pyspark.sql.window import Window
+
+    from ..util import local_df
+
+    spark = df.sparkSession
+    n_part = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    src = df.select(
+        F.col(id_col), uniform32_col(F.col(id_col), seed).alias("_u")
+    )
+    ranged = src.repartitionByRange(n_part, "_u", id_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy("_u", id_col)
+    local = ranged.withColumn("_rn", F.row_number().over(w))
+    # one lineage for the totals probe and the projection (the range
+    # shuffle's sampled partitioner must not run twice)
+    local = local.localCheckpoint(eager=True)
+    counts = {
+        r["_pid"]: r["_n"]
+        for r in local.groupBy("_pid").agg(F.max("_rn").alias("_n")).collect()
+    }
+    running = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, running))
+        running += counts[pid]
+    off_df = F.broadcast(local_df(spark, offsets, "_pid int, _off long"))
+    return local.join(off_df, "_pid").select(
+        id_col, (F.col("_off") + F.col("_rn") - 1).alias("ord")
+    )

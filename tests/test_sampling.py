@@ -66,3 +66,35 @@ def test_sample_rejects_bad_rate(spark):
         sample_hash(docs, 1.5)
     with pytest.raises(ValueError):
         sample_stratified(docs, {"web": -0.1})
+
+
+def test_shuffle_order_matches_python_and_is_stable(spark):
+    import hashlib
+
+    from similardocs_spark.operators.sampling import shuffle_order
+
+    def u32(seed, k):
+        return int(hashlib.md5(f"{seed}|{k}".encode()).hexdigest()[:8], 16)
+
+    ids = list(range(500))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    exp = {i: r for r, (_, i) in enumerate(sorted((u32(42, i), i) for i in ids))}
+    got = {r["doc_id"]: r["ord"] for r in shuffle_order(df).collect()}
+    assert got == exp
+    # partitioning-independent, and a true permutation
+    got2 = {
+        r["doc_id"]: r["ord"]
+        for r in shuffle_order(df.repartition(13)).collect()
+    }
+    assert got2 == exp
+    assert sorted(got.values()) == list(range(500))
+
+
+def test_shuffle_order_epoch_seed(spark):
+    from similardocs_spark.operators.sampling import shuffle_order
+
+    df = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    a = {r["doc_id"]: r["ord"] for r in shuffle_order(df, seed=1).collect()}
+    b = {r["doc_id"]: r["ord"] for r in shuffle_order(df, seed=2).collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values()) == list(range(200))
