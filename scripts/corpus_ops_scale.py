@@ -296,6 +296,37 @@ def main() -> None:
 
     measured("shuffle_order_30M_rows", run_shuffle_order)
 
+    def run_shuffled_packing():
+        from similardocs_spark.operators.packing import pack_sequences
+        from similardocs_spark.operators.sampling import shuffle_order
+
+        # the composed pipeline step: pack the SHUFFLED stream (ordinal
+        # becomes the packing order). Attest the concatenation is
+        # gap-free: the max (start_tok + its doc's tokens) must equal
+        # the exact total token count.
+        ords = shuffle_order(tc, seed=42)
+        stream = tc.join(ords, "doc_id").select(
+            F.col("ord").alias("doc_id"), "tokens"
+        )
+        packed = pack_sequences(stream, seq_len=2048)
+        joined = packed.join(
+            stream.withColumnRenamed("tokens", "_t"), "doc_id"
+        )
+        agg = joined.agg(
+            F.count("*").alias("n"),
+            F.max(F.col("start_tok") + F.col("_t")).alias("end"),
+            F.max("seq_last").alias("max_seq"),
+        ).collect()[0]
+        total = tc.agg(F.sum("tokens")).collect()[0][0]
+        return {
+            "n_rows": agg["n"],
+            "n_sequences": agg["max_seq"] + 1,
+            "stream_total_tokens": total,
+            "gap_free": agg["end"] == total,
+        }
+
+    measured("shuffled_packing_30M_rows", run_shuffled_packing)
+
     # duplicate spans: the seeded corpus plants n/100 exact copies (full
     # coverage by construction) and n/50 near copies (1-in-40 tokens
     # edited -> 39-token clean runs, each a guaranteed >= 20-token dup
