@@ -187,3 +187,39 @@ def test_filter_documents_reasons_in_rule_order(spark):
     assert got[1] == (False, "too_few_words")
     assert got[2] == (False, "top_word_repetition")
     assert got[3] == (False, "dup_lines")
+
+
+@pytest.mark.spark
+def test_new_ops_plans_jvm_only_and_shaped(spark):
+    """Round-6-late ops: no Python eval nodes anywhere; shuffle_order
+    must not degrade to a single-partition global sort (its one exchange
+    is a RANGE partitioning, never SinglePartition)."""
+    from similardocs_spark.operators.lm import bigram_lm_scores
+    from similardocs_spark.operators.sampling import shuffle_order
+    from similardocs_spark.operators.textstats import top_ngrams_approx
+
+    docs = spark.createDataFrame(
+        [(i, f"some words number {i} the and dengue again") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for name, df in (
+        ("bigram_lm_scores", bigram_lm_scores(docs)),
+        ("top_ngrams_approx", top_ngrams_approx(docs, n=2, k=3, p=0.5)),
+        ("shuffle_order", shuffle_order(docs)),
+    ):
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+            assert marker not in plan, f"{name} schedules Python: {marker}"
+    # shuffle_order's range exchange executes eagerly inside the call
+    # (localCheckpoint, same contract as pack_sequences), so the returned
+    # plan is a checkpoint scan + broadcast offset join — assert it never
+    # degrades to a single-partition global sort downstream
+    sdf = shuffle_order(docs)
+    plan = sdf._sc._jvm.PythonSQLUtils.explainString(
+        sdf._jdf.queryExecution(), "formatted"
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "ExistingRDD" in plan or "Scan" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
