@@ -1145,6 +1145,70 @@ FROM c
 """
 
 
+def q_shuffled_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline step: shuffle_order assigns the epoch
+    order, pack_sequences packs the SHUFFLED token stream (ordinal as
+    the packing key). Returns original doc_id + its ordinal + packing
+    offsets, so the oracle replays the whole composition."""
+    from .operators.packing import pack_sequences
+    from .operators.sampling import shuffle_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tc = textstats.token_counts(docs).select("doc_id", "bpe_tokens")
+    ords = shuffle_order(docs)
+    stream = tc.join(ords, "doc_id").select(
+        F.col("ord"), F.col("doc_id"), F.col("bpe_tokens")
+    )
+    packed = pack_sequences(
+        stream, seq_len=256, id_col="ord", tokens_col="bpe_tokens"
+    )
+    return (
+        stream.select("doc_id", "ord")
+        .join(packed, "ord")
+        .select("doc_id", "ord", "start_tok", "seq_first", "seq_last", "n_seqs")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_shuffled_packing() -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    hexval = " + ".join(
+        f"{digit.format(p=p + 1)} * {16 ** (7 - p)}" for p in range(8)
+    )
+    return f"""
+WITH tc AS (SELECT * FROM ({{SQL_TOKEN_COUNTS}}) t),
+hh AS (
+  SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS h FROM documents
+),
+u AS (SELECT doc_id, {hexval} AS u32 FROM hh),
+o AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY u32, doc_id) - 1 AS BIGINT) AS ord
+  FROM u
+),
+c AS (
+  SELECT o.doc_id, o.ord, tc.bpe_tokens AS tk,
+         sum(tc.bpe_tokens) OVER (ORDER BY o.ord
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM o JOIN tc ON o.doc_id = tc.doc_id
+)
+SELECT doc_id, ord,
+  CAST(cum - tk AS BIGINT) AS start_tok,
+  CAST((cum - tk) // 256 AS BIGINT) AS seq_first,
+  CAST(CASE WHEN tk > 0 THEN (cum - 1) // 256
+            ELSE (cum - tk) // 256 END AS BIGINT) AS seq_last,
+  CAST(CASE WHEN tk > 0 THEN (cum - 1) // 256
+            ELSE (cum - tk) // 256 END
+       - (cum - tk) // 256 + 1 AS BIGINT) AS n_seqs
+FROM c ORDER BY doc_id
+"""
+
+
+SQL_SHUFFLED_PACKING = _sql_shuffled_packing().replace(
+    "{SQL_TOKEN_COUNTS}", SQL_TOKEN_COUNTS
+)
+
+
 # -------------------------------------------------- 22c. deterministic sample
 
 
@@ -1479,6 +1543,7 @@ OPS_QUERIES = {
     "pii": q_pii,
     "pii_redact": q_pii_redact,
     "packing": q_packing,
+    "shuffled_packing": q_shuffled_packing,
     "sample": q_sample,
     "shuffle_order": q_shuffle_order,
     "dup_spans": q_dup_spans,
@@ -1518,6 +1583,7 @@ OPS_SQL = {
     "pii": SQL_PII,
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,
+    "shuffled_packing": SQL_SHUFFLED_PACKING,
     "sample": SQL_SAMPLE,
     "shuffle_order": SQL_SHUFFLE_ORDER,
     "dup_spans": SQL_DUP_SPANS,
