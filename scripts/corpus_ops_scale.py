@@ -224,6 +224,23 @@ def main() -> None:
         out["bigram_lm_scores"]["median_xent_e6"] = int(med)
         out["bigram_lm_scores"]["exact_twin_score_mismatches"] = mism
         print(json.dumps({"bigram_lm_scores": out["bigram_lm_scores"]}), flush=True)
+
+    def run_lm_trigram():
+        from similardocs_spark.operators.lm import trigram_backoff_scores
+
+        sc = trigram_backoff_scores(docs).localCheckpoint()
+        agg = sc.agg(
+            F.count("*").alias("n"),
+            F.sum("n_terms").alias("nt"),
+            F.median("xent_e6").alias("med"),
+        ).collect()[0]
+        return {
+            "n_docs_scored": agg["n"],
+            "total_terms": agg["nt"],
+            "median_xent_e6": int(agg["med"]),
+        }
+
+    measured("trigram_backoff_scores", run_lm_trigram)
     measured("mixture_summary", run_mixture)
 
     from similardocs_spark.operators.packing import pack_sequences

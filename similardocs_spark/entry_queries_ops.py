@@ -1056,6 +1056,84 @@ ORDER BY d.doc_id
 """
 
 
+def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram stupid-backoff self-perplexity (Brants et al. 2007). The
+    self-trained case never reaches the backoff branches (every observed
+    trigram has count ≥ 1) — the branches are pytest-exercised with a
+    disjoint reference corpus; here the oracle replays the full CASE."""
+    from similardocs_spark.operators.lm import trigram_backoff_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return trigram_backoff_scores(docs).orderBy("doc_id")
+
+
+def _sql_lm_trigram() -> str:
+    import math
+
+    la = math.log2(1.0 / 0.4)
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(coalesce(text,'')), '[ \n]+'),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+konst AS (
+  SELECT SUM(len(ws)) AS t,
+         (SELECT count(DISTINCT tok) FROM (SELECT unnest(ws) AS tok FROM w)) AS v
+  FROM w
+),
+toks AS (SELECT unnest(ws) AS t FROM w),
+uni AS (SELECT t, count(*) AS c1 FROM toks GROUP BY t),
+bis AS (
+  SELECT unnest(list_transform(range(len(ws) - 1),
+           i -> ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM w WHERE len(ws) >= 2
+),
+big AS (SELECT g, count(*) AS c2 FROM bis GROUP BY g),
+tris AS (
+  SELECT unnest(list_transform(range(len(ws) - 2),
+           i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+  FROM w WHERE len(ws) >= 3
+),
+tri AS (SELECT g, count(*) AS c3 FROM tris GROUP BY g),
+stream AS (
+  SELECT doc_id, unnest(list_transform(range(len(ws) - 2),
+           i -> {{'tri': ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3],
+                  'ctx': ws[i+1] || ' ' || ws[i+2],
+                  'bi':  ws[i+2] || ' ' || ws[i+3],
+                  'w1':  ws[i+3],
+                  'w1p': ws[i+2]}})) AS o
+  FROM w WHERE len(ws) >= 3
+),
+terms AS (
+  SELECT s.doc_id,
+    CAST(ROUND(1e6 * CASE
+      WHEN COALESCE(t3.c3, 0) > 0 THEN log2(b2p.c2) - log2(t3.c3)
+      WHEN COALESCE(b2.c2, 0) > 0 THEN {la!r} + log2(u1p.c1) - log2(b2.c2)
+      ELSE {2 * la!r} + log2(k.t + k.v) - log2(COALESCE(u1.c1, 0) + 1)
+    END) AS BIGINT) AS nll
+  FROM stream s
+  LEFT JOIN tri t3  ON s.o.tri = t3.g
+  LEFT JOIN big b2p ON s.o.ctx = b2p.g
+  LEFT JOIN big b2  ON s.o.bi  = b2.g
+  LEFT JOIN uni u1  ON s.o.w1  = u1.t
+  LEFT JOIN uni u1p ON s.o.w1p = u1p.t
+  CROSS JOIN konst k
+),
+per AS (SELECT doc_id, count(*) AS nt, SUM(nll) AS s FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(per.nt, 0) AS BIGINT) AS n_terms,
+       CAST(COALESCE(per.s, 0) AS BIGINT) AS nll_e6,
+       CAST(ROUND(per.s * 1.0 / per.nt) AS BIGINT) AS xent_e6
+FROM documents d LEFT JOIN per USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+SQL_LM_TRIGRAM = _sql_lm_trigram()
+
+
 # --------------------------------------------- 22. benchmark decontamination
 
 
@@ -1540,6 +1618,7 @@ OPS_QUERIES = {
     "top_ngrams_approx": q_top_ngrams_approx,
     "mixture": q_mixture,
     "lm_scores": q_lm_scores,
+    "lm_trigram": q_lm_trigram,
     "pii": q_pii,
     "pii_redact": q_pii_redact,
     "packing": q_packing,
@@ -1580,6 +1659,7 @@ OPS_SQL = {
     "top_ngrams_approx": SQL_TOP_NGRAMS_APPROX,
     "mixture": SQL_MIXTURE,
     "lm_scores": SQL_LM_SCORES,
+    "lm_trigram": SQL_LM_TRIGRAM,
     "pii": SQL_PII,
     "pii_redact": SQL_PII_REDACT,
     "packing": SQL_PACKING,

@@ -47,7 +47,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["bigram_lm_scores"]
+__all__ = ["bigram_lm_scores", "trigram_backoff_scores"]
 
 
 def _tokens(text_col):
@@ -137,6 +137,160 @@ def bigram_lm_scores(
             F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
             F.coalesce(F.col("nll_e6"), F.lit(0)).alias("nll_e6"),
             F.round(F.col("nll_e6") / F.col("n_bigrams"))
+            .cast("long")
+            .alias("xent_e6"),
+        )
+    )
+
+
+def trigram_backoff_scores(
+    docs: DataFrame,
+    alpha: float = 0.4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lm_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Trigram stupid-backoff cross-entropy (Brants et al. 2007 — the
+    large-scale LM recipe CCNet-class filters actually approximate):
+
+        S(w_i | w_{i-2} w_{i-1}) = c3/c2'            if c3 > 0
+                                 = α · c2/c1'        elif c2 > 0
+                                 = α² · (c1+1)/(T+V) otherwise
+
+    where c3 counts the trigram ending at i, c2'/c1' its contexts, c2
+    the backoff bigram, c1 the unigram, T total tokens, V vocab (the
+    final level takes an add-one guard so OOV tokens under a reference
+    `lm_docs` stay finite; self-trained LMs never reach the backoffs —
+    every observed trigram has count ≥ 1, which is exactly why the
+    backoff branches are pytest-exercised with a disjoint reference
+    corpus).
+
+    Same integer-exactness contract as `bigram_lm_scores`: each
+    position's nll (the branch expression INCLUDING the log2(1/α)
+    penalty) rounds to an e6 long before any aggregation.
+
+    Scored positions: i ≥ 2 (0-based), i.e. T−2 terms per doc; docs
+    shorter than 3 tokens get n_terms = 0 and null xent_e6.
+
+    Plan: three count tables (uni/bi/tri — hashed-long exchanges), one
+    explode of per-position hash 5-tuples, five hash left-joins (AQE
+    broadcasts what fits), one integer groupBy. A denormalized variant
+    (context counts folded into the LM tables at fit time, 3-hash
+    stream, two stream joins) was MEASURED SLOWER at 309k docs (94.5 s /
+    9.9 GB vs this plan's 78.6 s / 9.8 GB): on a Zipf corpus trigrams
+    are nearly unique, so the tri/big tables are stream-sized and the
+    table-side context joins cost more than the two stream joins they
+    remove. Revisit only with a measured high-reuse corpus.
+    """
+    if lm_docs is None:
+        lm_docs = docs
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+
+    def grams(text_col_):
+        w = _tokens(text_col_)
+        L2 = F.greatest(F.size(w) - 1, F.lit(0))
+        g2 = F.zip_with(
+            F.slice(w, 1, L2),
+            F.slice(w, 2, L2),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        L3 = F.greatest(F.size(w) - 2, F.lit(0))
+        g3 = F.zip_with(
+            F.slice(g2, 1, L3),
+            F.slice(w, 3, L3),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        return w, g2, g3
+
+    lw, lg2, lg3 = grams(F.col(text_col))
+
+    def counts(arr, name):
+        return (
+            lm_docs.select(
+                F.explode(F.transform(arr, lambda g: F.xxhash64(g))).alias("h")
+            )
+            .groupBy("h")
+            .agg(F.count("*").alias(name))
+        )
+
+    uni = counts(lw, "c1").persist()
+    vocab = uni.count()
+    total = lm_docs.select(
+        F.sum(F.size(_tokens(F.col(text_col)))).alias("t")
+    ).collect()[0]["t"] or 0
+
+    big = counts(lg2, "c2")
+    tri = counts(lg3, "c3")
+
+    w, g2, g3 = grams(F.col(text_col))
+    L3 = F.greatest(F.size(w) - 2, F.lit(0))
+    h1a = F.transform(w, lambda t: F.xxhash64(t))
+    h2a = F.transform(g2, lambda g: F.xxhash64(g))
+    h3a = F.transform(g3, lambda g: F.xxhash64(g))
+    stream = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice(h3a, 1, L3).alias("h3"),
+                F.slice(h2a, 2, L3).alias("h2"),
+                F.slice(h2a, 1, L3).alias("h2p"),
+                F.slice(h1a, 3, L3).alias("h1"),
+                F.slice(h1a, 2, L3).alias("h1p"),
+            )
+        ).alias("z"),
+    ).select(id_col, "z.h3", "z.h2", "z.h2p", "z.h1", "z.h1p")
+
+    j = (
+        stream.join(tri.withColumnRenamed("h", "h3"), "h3", "left")
+        .join(big.withColumnRenamed("h", "h2"), "h2", "left")
+        .join(
+            big.select(
+                F.col("h").alias("h2p"), F.col("c2").alias("c2p")
+            ),
+            "h2p",
+            "left",
+        )
+        .join(uni.withColumnRenamed("h", "h1"), "h1", "left")
+        .join(
+            uni.select(
+                F.col("h").alias("h1p"), F.col("c1").alias("c1p")
+            ),
+            "h1p",
+            "left",
+        )
+    )
+    import math
+
+    lg_inv_a = math.log2(1.0 / alpha)
+    c3 = F.coalesce(F.col("c3"), F.lit(0))
+    c2 = F.coalesce(F.col("c2"), F.lit(0))
+    c2p = F.coalesce(F.col("c2p"), F.lit(0))
+    c1 = F.coalesce(F.col("c1"), F.lit(0))
+    c1p = F.coalesce(F.col("c1p"), F.lit(0))
+    nll = (
+        F.when(c3 > 0, F.log2(c2p) - F.log2(c3))
+        .when(c2 > 0, F.lit(lg_inv_a) + F.log2(c1p) - F.log2(c2))
+        .otherwise(
+            F.lit(2 * lg_inv_a)
+            + F.log2(F.lit(total + vocab))
+            - F.log2(c1 + 1)
+        )
+    )
+    scored = j.select(
+        id_col, F.round(nll * 1e6).cast("long").alias("nll")
+    )
+    per = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_terms"), F.sum("nll").alias("nll_e6")
+    )
+    return (
+        docs.select(id_col)
+        .join(per, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_terms"), F.lit(0)).alias("n_terms"),
+            F.coalesce(F.col("nll_e6"), F.lit(0)).alias("nll_e6"),
+            F.round(F.col("nll_e6") / F.col("n_terms"))
             .cast("long")
             .alias("xent_e6"),
         )

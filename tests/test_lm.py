@@ -41,7 +41,9 @@ def _py_scores(score_docs, lm_docs):
             for a, b in bs
         )
         n = len(bs)
-        out[i] = (n, nll, int(round(nll / n)) if n else None)
+        # Spark/DuckDB ROUND is HALF_UP; Python round() is banker's —
+        # exact integer half-up for positive sums:
+        out[i] = (n, nll, (2 * nll + n) // (2 * n) if n else None)
     return out
 
 
@@ -84,3 +86,73 @@ def test_partitioning_independent(spark):
         tuple(r) for r in bigram_lm_scores(df.repartition(7)).collect()
     )
     assert a == b
+
+
+def _py_trigram(score_docs, lm_docs, alpha=0.4):
+    u, b, t3 = Counter(), Counter(), Counter()
+    T = 0
+    for _, t in lm_docs:
+        w = _toks(t)
+        T += len(w)
+        u.update(w)
+        b.update(zip(w, w[1:]))
+        t3.update(zip(w, w[1:], w[2:]))
+    V = len(u)
+    la = math.log2(1 / alpha)
+    out = {}
+    for i, t in score_docs:
+        w = _toks(t)
+        terms = []
+        for k in range(2, len(w)):
+            tri = (w[k - 2], w[k - 1], w[k])
+            bi = (w[k - 1], w[k])
+            if t3.get(tri, 0) > 0:
+                nll = math.log2(b[(w[k - 2], w[k - 1])]) - math.log2(t3[tri])
+            elif b.get(bi, 0) > 0:
+                nll = la + math.log2(u[w[k - 1]]) - math.log2(b[bi])
+            else:
+                nll = 2 * la + math.log2(T + V) - math.log2(u.get(w[k], 0) + 1)
+            terms.append(int(round(nll * 1e6)))
+        n, s = len(terms), sum(terms)
+        out[i] = (n, s, (2 * s + n) // (2 * n) if n else None)
+    return out
+
+
+def test_trigram_backoff_self_matches_python(spark):
+    from similardocs_spark.operators.lm import trigram_backoff_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms"], r["nll_e6"], r["xent_e6"])
+        for r in trigram_backoff_scores(df).collect()
+    }
+    assert got == _py_trigram(DOCS, DOCS)
+
+
+def test_trigram_backoff_all_branches_vs_reference_lm(spark):
+    # REF shares some bigrams/unigrams with DOCS but not all trigrams,
+    # so the scored stream hits the trigram, bigram-backoff, AND
+    # unigram-backoff (incl. OOV add-one) branches
+    from similardocs_spark.operators.lm import trigram_backoff_scores
+
+    ref = [
+        (100, "the cat sat quietly"),
+        (101, "on the mat again"),
+        (102, "zork is strange"),
+    ]
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    lm = spark.createDataFrame(ref, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_terms"], r["nll_e6"], r["xent_e6"])
+        for r in trigram_backoff_scores(df, lm_docs=lm).collect()
+    }
+    assert got == _py_trigram(DOCS, ref)
+
+
+def test_trigram_backoff_bad_alpha(spark):
+    from similardocs_spark.operators.lm import trigram_backoff_scores
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    for bad in (0.0, 1.0, -0.1):
+        with pytest.raises(ValueError):
+            trigram_backoff_scores(df, alpha=bad)
