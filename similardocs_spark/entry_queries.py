@@ -19,6 +19,7 @@ from .functions.tokenize import tokenize as tokenize_udf
 from .oracle import sqlgen
 from .oracle.refsearch import get_min_ngrams
 from .textnorm import query_rerank_tokens, query_terms
+from .util import spread_input
 
 BM25_QUERY = "key value table scan merge batch"
 _BM25_WEIGHTS = query_terms(BM25_QUERY)
@@ -36,8 +37,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, term) distinct prefix tokens per document."""
+    # spread the single-file scan so the tokenizer UDF stage runs on every
+    # core, not one (scale-adaptive no-op on a wide scan; see util.spread_input)
     return (
-        _docs(spark, sf_dir)
+        spread_input(_docs(spark, sf_dir))
         .select("doc_id", F.explode(tokenize_udf(F.col("text"))).alias("term"))
     )
 
@@ -67,7 +70,7 @@ ORDER BY df DESC, term ASC LIMIT 100
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _docs(spark, sf_dir)
+        spread_input(_docs(spark, sf_dir))
         .select("doc_id", F.size(tokenize_udf(F.col("text"))).cast("long").alias("dl"))
         .withColumn("dlq", _quantize_udf(F.col("dl")))
     )
@@ -205,7 +208,7 @@ def q_adhoc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents has no update_date → tiebreak pinned to doc_id asc."""
     pool = 150 * 10
     cands = _scored(spark, sf_dir).orderBy(F.desc("score"), F.asc("doc_id")).limit(pool)
-    docs = _docs(spark, sf_dir).select(
+    docs = spread_input(_docs(spark, sf_dir)).select(
         "doc_id", rerank_tokens_udf(F.col("text")).alias("rr")
     )
     return (
@@ -297,7 +300,7 @@ GROUP BY event_type
 
 def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
-        _docs(spark, sf_dir)
+        spread_input(_docs(spark, sf_dir))
         .select("lang", F.explode(tokenize_udf(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count("*").alias("cnt"))

@@ -84,33 +84,44 @@ __all__ = [
 DEFAULT_SPAN_TOKENS = 20
 
 
-def _window_hashes(text_col, n: int):
-    """Row-local: xxhash64 of every stride-1 n-token window (lowercased,
-    ws-split), in position order. Empty array when the doc has < n tokens.
+def _window_df(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, n_tokens, _h): per doc, the 64-bit identity of every
+    stride-1 n-token window (lowercased, ws-split), in position order —
+    empty array when the doc has < n tokens.
 
-    Keep the zip_with chain: it is the measured-fastest form of the
-    projection at corpus scale (GRAM_FORM_AB.json — 2.5x faster than
-    transform-over-sequence slice forms, 1.3x faster than a log-depth
-    doubling chain at 103k docs / n=20; the slice forms' small-input
-    win is codegen compile cost only and inverts at scale)."""
-    w = F.filter(
-        F.split(F.lower(F.coalesce(text_col, F.lit(""))), "[ \n]+"),
+    Two deliberate cost choices (round 7, see OPTIMIZATION_r07.md):
+
+    - The token array and the per-token xxhash64 are materialized as REAL
+      projection steps, so the window chain references a column instead of
+      re-inlining the split+filter subtree into every slice operand (the
+      round-6 single-expression form evaluated the tokenizer ~2n times per
+      row; CollapseProject keeps multi-use non-cheap aliases separate).
+    - Window identity is built from the per-token hashes by a pairwise
+      xxhash64 zip_with chain over LONGS, not by concatenating the n token
+      strings and hashing ~n·wordlen bytes per window. Identity quality is
+      unchanged (iterated 64-bit hashing; the module's 2⁻⁶⁴-collision
+      caveat applies exactly as before) and the declared outputs carry
+      only counts/positions, never the hash itself. The zip_with chain
+      form is the measured-fastest projection at corpus scale
+      (GRAM_FORM_AB.json) — this keeps the chain and removes the string
+      building from it.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[ \n]+"),
         lambda x: F.length(x) > 0,
     )
-    parts = [
-        F.slice(w, i + 1, F.greatest(F.size(w) - (n - 1), F.lit(0)))
-        for i in range(n)
-    ]
+    d = docs.select("doc_id", toks.alias("_w"))
+    d = d.select(
+        "doc_id",
+        F.size("_w").cast("long").alias("n_tokens"),
+        F.transform("_w", lambda x: F.xxhash64(x)).alias("_th"),
+    )
+    win_len = F.greatest(F.col("n_tokens") - (n - 1), F.lit(0)).cast("int")
+    parts = [F.slice("_th", i + 1, win_len) for i in range(n)]
     grams = parts[0]
     for p in parts[1:]:
-        grams = F.zip_with(grams, p, lambda a, b: F.concat_ws(" ", a, b))
-    grams = F.when(F.size(w) >= n, grams).otherwise(
-        F.array().cast("array<string>")
-    )
-    return (
-        F.size(w).cast("long"),
-        F.transform(grams, lambda g: F.xxhash64(g)),
-    )
+        grams = F.zip_with(grams, p, lambda a, b: F.xxhash64(a, b))
+    return d.select("doc_id", "n_tokens", grams.alias("_h"))
 
 
 def duplicate_spans(
@@ -126,10 +137,16 @@ def duplicate_spans(
     dup_token_frac_e6); every input doc_id is present — documents with no
     duplicated window (or shorter than n tokens) report zeros.
     """
-    ntok, hashes = _window_hashes(F.col(text_col), n)
-    base = docs.select(
-        "doc_id", ntok.alias("n_tokens"), hashes.alias("_h")
-    )
+    base = _window_df(docs, n, text_col)
+    if broadcast:
+        # the window projection feeds BOTH the frequency pass and the
+        # attribution probe; with the dup set broadcast there is no common
+        # exchange to reuse, so persist the compact (doc_id, n_tokens, _h)
+        # rows — the chain runs ONCE and the probe/stats read the cache
+        # (round-6 measured the un-persisted form computing the chain
+        # twice; ContextCleaner unpersists when the result goes out of
+        # scope, same convention as operators/dedup.py)
+        base = base.persist()
     wins = base.select(
         "doc_id", F.posexplode("_h").alias("pos", "h")
     )
@@ -175,7 +192,11 @@ def duplicate_spans(
         base.select(
             "doc_id",
             "n_tokens",
-            F.size("_h").cast("long").alias("n_windows"),
+            # arithmetic, not size(_h): the per-doc stats never need the
+            # window chain (windows = max(0, T − n + 1) by construction)
+            F.greatest(F.col("n_tokens") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
         )
         .join(cov, "doc_id", "left")
         .fillna(0, ["n_dup_windows", "dup_tokens"])
@@ -223,8 +244,11 @@ def strip_duplicate_spans(
     anomaly; flip to False when a large corpus fraction is duplicated and
     the sets outgrow a broadcast).
     """
-    ntok, hashes = _window_hashes(F.col(text_col), n)
-    base = docs.select("doc_id", hashes.alias("_h"))
+    base = _window_df(docs, n, text_col)
+    if broadcast:
+        # chain feeds the canon agg AND the occurrence probe — persist the
+        # compact window rows so it runs once (same note as duplicate_spans)
+        base = base.persist()
     wins = base.select("doc_id", F.posexplode("_h").alias("pos", "h"))
     canon = (
         wins.groupBy("h")

@@ -46,6 +46,28 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     return spark.createDataFrame(pdf, schema=schema)
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Scale-adaptive post-read spread for row-local-heavy plans.
+
+    At the test scale factors the driver tables are single small parquet
+    files, so a scan yields ONE partition and every row-local transform
+    (tokenizer UDF chains, window hashing, signature kernels) runs on one
+    core of the whole machine. Repartition to the session's default
+    parallelism ONLY when the scan yields fewer partitions than that —
+    a production multi-file table already scans wide and skips the
+    exchange entirely (guide-§2.5 input-skew fix, kept scale-adaptive
+    instead of an unconditional repartition that would reshuffle a
+    100-TB corpus for nothing). The round-robin exchange is deterministic
+    (sort-before-repartition) and every caller's output is
+    partitioning-invariant, so results are unchanged.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 ISIN_MAX_LITERALS = 128
 
 
