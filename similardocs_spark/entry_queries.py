@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import bm25
-from .index.build import _quantize_udf
+from .index.build import quantize_dl_col
 from .functions.tokenize import rerank_tokens as rerank_tokens_udf
 from .functions.tokenize import tokenize as tokenize_udf
 from .oracle import sqlgen
@@ -72,7 +72,7 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spread_input(_docs(spark, sf_dir))
         .select("doc_id", F.size(tokenize_udf(F.col("text"))).cast("long").alias("dl"))
-        .withColumn("dlq", _quantize_udf(F.col("dl")))
+        .withColumn("dlq", quantize_dl_col(F.col("dl")))
     )
 
 

@@ -107,6 +107,27 @@ def rerank_tokens(texts: pd.Series) -> pd.Series:
     return _tokenize_series(texts, pre_uniform=True, max_tokens=100)
 
 
+_BOTH_RET = T.StructType(
+    [
+        T.StructField("tokens", T.ArrayType(T.StringType())),
+        T.StructField("rr_tokens", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+@pandas_udf(_BOTH_RET)
+def tokenize_with_rerank(texts: pd.Series, rerank_source: pd.Series) -> pd.DataFrame:
+    """Fused index-path + rerank-path tokenizer: ONE Python eval node per doc
+    row instead of two (same kernels as `tokenize`/`rerank_tokens`; the build
+    path pays the JVM↔Python crossing once — guide §4.1)."""
+    return pd.DataFrame(
+        {
+            "tokens": _tokenize_series(texts, pre_uniform=False, max_tokens=None),
+            "rr_tokens": _tokenize_series(rerank_source, pre_uniform=True, max_tokens=100),
+        }
+    )
+
+
 @pandas_udf(T.StringType())
 def uniform(texts: pd.Series) -> pd.Series:
     """Vectorized Tools.uniformString equivalent."""

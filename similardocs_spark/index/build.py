@@ -47,17 +47,51 @@ from pyspark.sql.functions import pandas_udf
 from .. import bm25
 from ..functions.tokenize import rerank_tokens as rerank_tokens_udf
 from ..functions.tokenize import tokenize as tokenize_udf
+from ..functions.tokenize import tokenize_with_rerank as tokenize_both_udf
 from . import codec
 
 TRUNCATE_CHARS = 10_000
 DEFAULT_SEG_SIZE = 1 << 20
 
+# AQE coalesces post-shuffle partitions by BYTES; the build's doc-assembly
+# shuffle feeds the CPU-per-byte-heavy tokenizer kernel, so at small corpus
+# sizes byte-based coalescing collapses the tokenizer stage to a handful of
+# cores (measured sf0.1 local[32]: staging write 3.1 s → 1.8 s with the
+# floor). 16k mirrors util._kernel_confs; at production shuffle sizes every
+# partition is far above the floor and the setting is inert.
+_BUILD_CONFS = {"spark.sql.adaptive.coalescePartitions.minPartitionSize": "16k"}
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def _build_exec_conf(spark: SparkSession):
+    saved: dict[str, str | None] = {}
+    for k, v in _BUILD_CONFS.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            if old is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old)
+
 
 def small_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
-    """Single-slice DataFrame for tiny driver-side tables. A plain
-    createDataFrame gets defaultParallelism slices and coalesce(1) then pays
-    ~0.15 s per empty slice (measured: 4.5 s per one-row write at 32 threads)."""
-    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    """Tiny driver-side table as an Arrow LocalRelation (util.local_df):
+    zero jobs, zero Python tasks at materialization. The former
+    parallelize(rows, 1) form ran a one-task pickled-Python job per
+    lineage/stats write — ~0.3 s × 5 writes per build of pure overhead."""
+    from ..util import local_df
+
+    return local_df(spark, rows, schema)
 
 
 @dataclass
@@ -92,6 +126,23 @@ class IndexPaths:
 @pandas_udf(T.LongType())
 def _quantize_udf(dl: pd.Series) -> pd.Series:
     return pd.Series(bm25.quantize_dl_np(dl.to_numpy()))
+
+
+def quantize_dl_col(dl):
+    """JVM-native quantize_dl (bm25.quantize_dl round-trip) as a Column —
+    exact bit-length via length(bin(v)), down-round by masking the low
+    shift bits (v − v mod 2^shift; 2^shift is exact in double far past any
+    doc length). Replaces a pandas-UDF hop with codegen arithmetic (guide
+    §4.1); parity with quantize_dl_np pinned by test_sortbuild."""
+    v = dl - F.lit(bm25._NUM_FREE_VALUES)
+    shift = F.greatest(F.length(F.bin(v)) - F.lit(4), F.lit(0))
+    p2 = F.pow(F.lit(2.0), shift).cast("long")
+    quant = v - F.pmod(v, p2)
+    return (
+        F.when(dl < bm25._NUM_FREE_VALUES, dl)
+        .otherwise(F.lit(bm25._NUM_FREE_VALUES) + quant)
+        .cast("long")
+    )
 
 
 _ENCODE_RET = T.StructType(
@@ -185,11 +236,18 @@ def assign_doc_ids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
 
 
 def tokenize_docs(docs: DataFrame) -> DataFrame:
+    # ONE fused Python eval (tokens + rerank tokens in a single crossing)
+    # and JVM-native length quantization — the round-6 form ran three
+    # ArrowEvalPython nodes per doc row (guide §4.1)
     return (
-        docs.withColumn("tokens", tokenize_udf(F.col("text")))
-        .withColumn("rr_tokens", rerank_tokens_udf(F.col("rerank_source")))
+        docs.withColumn(
+            "_tk", tokenize_both_udf(F.col("text"), F.col("rerank_source"))
+        )
+        .withColumn("tokens", F.col("_tk.tokens"))
+        .withColumn("rr_tokens", F.col("_tk.rr_tokens"))
+        .drop("_tk")
         .withColumn("dl", F.size("tokens").cast("long"))
-        .withColumn("dlq", _quantize_udf(F.col("dl")))
+        .withColumn("dlq", quantize_dl_col(F.col("dl")))
     )
 
 
@@ -213,6 +271,25 @@ def build_index(
     dense integer) — skips the generic rank-assignment passes (sampling +
     per-partition offsets). lineage_counts=False skips the per-batch postings
     read-back counting job (rows are logged as -1)."""
+    with _build_exec_conf(spark):
+        return _build_index_impl(
+            spark, transcripts, root, docs_meta=docs_meta, seg_size=seg_size,
+            seg_batches=seg_batches, resume=resume, doc_id_expr=doc_id_expr,
+            lineage_counts=lineage_counts,
+        )
+
+
+def _build_index_impl(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    root: str,
+    docs_meta: DataFrame | None = None,
+    seg_size: int = DEFAULT_SEG_SIZE,
+    seg_batches: int = 1,
+    resume: bool = False,
+    doc_id_expr: str | None = None,
+    lineage_counts: bool = True,
+) -> IndexPaths:
     paths = IndexPaths(root)
     os.makedirs(root, exist_ok=True)
     from .catalog import get_io

@@ -8,9 +8,9 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 
 
-def _schema_columns(schema: str) -> list[str]:
-    """Column names from a DDL schema string, respecting <> nesting
-    ("a string, b array<string>" → ["a", "b"])."""
+def _schema_split(schema: str) -> list[str]:
+    """DDL schema string → per-column "name type" pieces, respecting <>
+    nesting ("a string, b array<string>" → ["a string", "b array<string>"])."""
     cols, depth, cur = [], 0, []
     for ch in schema:
         if ch == "<":
@@ -23,7 +23,13 @@ def _schema_columns(schema: str) -> list[str]:
         else:
             cur.append(ch)
     cols.append("".join(cur))
-    return [c.strip().split()[0] for c in cols if c.strip()]
+    return [c.strip() for c in cols if c.strip()]
+
+
+def _schema_columns(schema: str) -> list[str]:
+    """Column names from a DDL schema string ("a string, b array<string>"
+    → ["a", "b"])."""
+    return [c.split()[0] for c in _schema_split(schema)]
 
 
 def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
@@ -38,10 +44,14 @@ def local_df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
     import pandas as pd
 
     if not rows:
-        # empty pandas frames fall back to the RDD path; one explicit slice
-        return spark.createDataFrame(
-            spark.sparkContext.parallelize(rows, 1), schema
-        )
+        # zero-row JVM plan (range(0) + typed-null projection): no RDD, no
+        # Python task — the old parallelize fallback ran a one-task pickled
+        # job per empty-table write
+        pairs = []
+        for col in _schema_split(schema):
+            name, typ = col.strip().split(None, 1)
+            pairs.append(f"CAST(NULL AS {typ}) AS {name}")
+        return spark.range(0).selectExpr(*pairs)
     pdf = pd.DataFrame(rows, columns=_schema_columns(schema))
     return spark.createDataFrame(pdf, schema=schema)
 
