@@ -485,10 +485,15 @@ def q_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned read. Shares ivf_topk's oracle SQL — the two library
     paths are semantically identical by construction, and this pair pins
     that through the driver gate, not just pytest."""
+    import atexit
+    import shutil
     import tempfile
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     index_dir = tempfile.mkdtemp(prefix="ivf_probe_")
+    # scratch index is per-invocation; without cleanup, repeated bench/driver
+    # runs leak corpus-sized parquet copies into the temp filesystem
+    atexit.register(shutil.rmtree, index_dir, ignore_errors=True)
     cents = ann.ivf_build(emb, index_dir, n_centroids=_IVF_NC)
     return ann.ivf_probe_topk(
         spark, index_dir, _probe_vec(sf_dir), k=10, n_probe=_IVF_NPROBE,

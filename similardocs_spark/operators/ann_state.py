@@ -68,8 +68,8 @@ class VectorDedupState:
         root: str,
         dim: int | None = None,
         bits: int | None = None,
-        tables: int = 2,
-        seed: int = 42,
+        tables: int | None = None,
+        seed: int | None = None,
         expected_corpus: int | None = None,
     ):
         self.spark = spark
@@ -84,20 +84,20 @@ class VectorDedupState:
                 "dim": row["dim"], "bits": row["bits"],
                 "tables": row["tables"], "seed": row["seed"],
             }
+            # only EXPLICITLY provided values are validated; omitted ones
+            # (None — the default for every config argument) load from meta,
+            # matching the documented open contract (a state created with
+            # non-default tables/seed reopens cleanly via
+            # VectorDedupState(spark, root))
             asked = {"dim": dim, "bits": bits, "tables": tables, "seed": seed}
             for k, v in asked.items():
-                if v is not None and k != "tables" and v != stored[k]:
+                if v is not None and v != stored[k]:
                     raise ValueError(
                         f"state at {root} was created with {k}={stored[k]}, "
                         f"opened with {v} — bucket ids from different LSH "
                         "configs must never be joined. Re-open with the "
                         "original config (or omit it) or rebuild."
                     )
-            if tables != stored["tables"]:
-                raise ValueError(
-                    f"state at {root} was created with tables="
-                    f"{stored['tables']}, opened with {tables}."
-                )
             self.dim, self.bits = stored["dim"], stored["bits"]
             self.tables, self.seed = stored["tables"], stored["seed"]
         else:
@@ -106,7 +106,8 @@ class VectorDedupState:
             if bits is None:
                 bits = lsh_bits_for(expected_corpus or 1_000_000)
             self.dim, self.bits, self.tables, self.seed = (
-                dim, bits, tables, seed,
+                dim, bits, tables if tables is not None else 2,
+                seed if seed is not None else 42,
             )
             self.io.overwrite(
                 local_df(

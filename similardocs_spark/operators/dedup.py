@@ -109,18 +109,20 @@ def _band_buckets(
     if n_hashes % n_bands:
         raise ValueError(f"n_hashes={n_hashes} not divisible by n_bands={n_bands}")
     rows_per_band = n_hashes // n_bands
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id", F.lit(b).alias("band"), F.concat_ws("_", *cols).alias("key")
-            )
+    keys = [
+        F.concat_ws(
+            "_",
+            *[F.col(f"mh{b * rows_per_band + j}") for j in range(rows_per_band)],
         )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
-    return all_bands
+        for b in range(n_bands)
+    ]
+    # ONE pass over sig (posexplode of the key array), not n_bands unioned
+    # selects: each union branch re-evaluated the whole signature lineage
+    # when sig was not persisted (measured 4x tokenize→shingle→minhash in
+    # the incremental path's corpus side). Identical rows: band = position.
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "key")
+    )
 
 
 def lsh_oversized_buckets(
@@ -496,21 +498,15 @@ def _simhash_bands(sh: DataFrame, max_hamming: int, bits: int = SIMHASH_BITS) ->
     arithmetic, so the mask keeps exactly the band's bits either way."""
     nb = max_hamming + 1
     bounds = [round(i * bits / nb) for i in range(nb + 1)]
-    bands = []
+    keys = []
     for b in range(nb):
         lo, hi = bounds[b], bounds[b + 1]
         mask = (1 << (hi - lo)) - 1
-        bands.append(
-            sh.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("key"),
-            )
-        )
-    all_bands = bands[0]
-    for x in bands[1:]:
-        all_bands = all_bands.unionByName(x)
-    return all_bands
+        keys.append(F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)))
+    # one pass via posexplode (band = position) — see _band_buckets
+    return sh.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "key")
+    )
 
 
 def simhash_oversized_buckets(
@@ -573,7 +569,15 @@ def simhash_near_dup_pairs(
         sh = signatures
     else:
         bits = _resolve_simhash_bits(docs, bits)
-        sh = (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
+        # the signature lineage (tokenize → per-token votes → per-doc bit
+        # assembly) feeds THREE subtrees: the band rows and both verify
+        # joins — persist the compact (doc_id, simhash) table so it runs
+        # once (same convention as minhash_lsh_pairs' sig persist;
+        # ContextCleaner releases it with the result)
+        sh = (
+            (simhash32 if bits == SIMHASH_BITS else simhash64)(docs, text_col)
+            .persist()
+        )
     all_bands = _simhash_bands(sh, max_hamming, bits)
     capped = (
         all_bands.withColumn(

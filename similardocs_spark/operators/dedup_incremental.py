@@ -170,7 +170,11 @@ def pairs_against(
     bounded pair-member ids (again no corpus shuffle).
     """
     if new_sig is None:
-        new_sig = signatures_for(new_docs, text_col, n_hashes)
+        # the batch lineage (tokenize → shingle → minhash) feeds the
+        # touched-bucket broadcast AND the banded union — persist the
+        # compact batch-bounded signature table so it runs once
+        # (ContextCleaner unpersists when the result goes out of scope)
+        new_sig = signatures_for(new_docs, text_col, n_hashes).persist()
     _validate_sig(corpus_sig, n_hashes)
     _validate_sig(new_sig, n_hashes)
     want_est = estimate_jaccard or min_jaccard is not None

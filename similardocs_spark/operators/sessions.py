@@ -6,13 +6,16 @@ conversation/episode units): a user's events belong to one session until
 a silence longer than `gap` splits them.
 
 Batch (`sessionize`): one exchange on the user key — the session
-boundary is `lag(ts)` over (user ORDER BY ts, event_id), the session
-ordinal a running sum of boundary flags over the same window, and the
-per-session aggregation re-uses the SAME partitioning (groupBy on
-user_id + session_seq is co-partitioned with the window; Catalyst plans
-a single Exchange). Event order is totalized by (ts, event_id) so ties
-at identical timestamps are deterministic across engines and
-partitionings. Durations are integer microsecond arithmetic
+boundary is `lag(ts)` over (user ORDER BY ts), the session ordinal a
+running sum of boundary flags over the same window, and the per-session
+aggregation re-uses the SAME partitioning (groupBy on user_id +
+session_seq is co-partitioned with the window; Catalyst plans a single
+Exchange). Ordering by the microsecond timestamp alone is
+output-deterministic: tied instants carry boundary flag 0 in any order
+and contribute the same min/max/count, so no event-id tiebreaker is
+needed (see the inline note in `sessionize`; `id_col` stays in the
+signature for callers whose ts semantics differ).
+Durations are integer microsecond arithmetic
 (cross-engine exact); `value` sums are NOT emitted by default precisely
 because float accumulation order is partition-dependent.
 

@@ -41,8 +41,8 @@ def run_embedding_ingest(
     dim: int,
     threshold: float = 0.9,
     bits: int | None = None,
-    tables: int = 2,
-    seed: int = 42,
+    tables: int | None = None,
+    seed: int | None = None,
     max_bucket: int = 2000,
     compact_state_every: int | None = None,
     reband_bits_fn: Callable[[int], int] | None = None,
@@ -56,9 +56,11 @@ def run_embedding_ingest(
     )
     io = get_io(spark, corpus_dir)
     results: list[dict] = []
-    import hashlib
+    # per-incarnation salt (uuid marker in the checkpoint dir) — see
+    # streaming.incarnation_salt and the rationale in dedup_stream
+    from . import incarnation_salt
 
-    salt = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    salt = incarnation_salt(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -78,16 +78,17 @@ def run_dedup_ingest(
     state = BandedDedupState(spark, state_dir, n_hashes, n_bands)
     io = get_io(spark, corpus_dir)
     results: list[dict] = []
-    # partition labels are salted with a CHECKPOINT fingerprint: batch ids
-    # are only unique within one checkpoint's lifetime, and a new stream
-    # incarnation (fresh checkpoint dir) restarts them at 0 — an unsalted
-    # label would collide with an older incarnation's partition and the
-    # dynamic overwrite would replace previously accepted docs. The salt is
-    # stable across crash-restarts of the SAME checkpoint (replay keeps its
-    # label → stays idempotent) and distinct across checkpoints.
-    import hashlib
+    # partition labels are salted PER INCARNATION (uuid marker persisted
+    # inside the checkpoint dir — see streaming.incarnation_salt): batch
+    # ids are only unique within one checkpoint incarnation, and both a
+    # fresh checkpoint dir AND a deleted-and-recreated one restart them at
+    # 0 — an unsalted (or path-derived) label would collide with an older
+    # incarnation's partition and the dynamic overwrite would replace
+    # previously accepted docs. Crash-restarts of the SAME checkpoint keep
+    # the marker (replay keeps its label → stays idempotent).
+    from . import incarnation_salt
 
-    salt = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
+    salt = incarnation_salt(checkpoint_dir)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
