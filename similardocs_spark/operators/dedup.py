@@ -434,6 +434,10 @@ def ngram_jaccard_pairs(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
     ).distinct()
+    # sh feeds the per-doc counts AND the corpus side of the intersection
+    # join — persist so the tokenize→shingle→distinct lineage runs once
+    # (ContextCleaner releases it with the result)
+    sh = sh.persist()
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     probe = sh.filter(F.col("doc_id").isin(probe_ids)).withColumnRenamed(
         "doc_id", "probe_id"

@@ -57,16 +57,43 @@ def _tokens(text_col):
     )
 
 
-def _bigram_strings(text_col):
-    """Row-local stride-1 bigram strings (the n=2 zip chain — the
-    measured-fastest gram projection form, GRAM_FORM_AB.json)."""
-    w = _tokens(text_col)
-    L = F.greatest(F.size(w) - 1, F.lit(0))
-    return F.zip_with(
-        F.slice(w, 1, L),
-        F.slice(w, 2, L),
-        lambda a, b: F.concat_ws(" ", a, b),
+def _hashed_grams(df: DataFrame, text_col: str, id_col: str | None = None,
+                  tri: bool = False) -> DataFrame:
+    """Per-row hashed gram arrays: (_nw, _h1[, _h2[, _h3]]) — the one
+    tokenizer pass every LM consumer (count tables, V, T, scoring stream)
+    derives from.
+
+    Gram identity (round 7) = pairwise xxhash64 over the per-token hashes,
+    never a concatenated string: the ids are only join keys between count
+    tables and stream built by THIS same helper, so no text n-gram is ever
+    materialized (same identity-quality caveat as repetition_stats). Each
+    array is a REAL projection step, so the tokenizer chain is evaluated
+    once per row, not once per slice operand."""
+    cols = [id_col] if id_col else []
+    d = df.select(*cols, _tokens(F.col(text_col)).alias("_w"))
+    d = d.select(
+        *cols,
+        F.size("_w").alias("_nw"),
+        F.transform("_w", lambda x: F.xxhash64(x)).alias("_h1"),
     )
+    L2 = F.greatest(F.col("_nw") - 1, F.lit(0))
+    d = d.select(
+        *cols, "_nw", "_h1",
+        F.zip_with(
+            F.slice("_h1", 1, L2), F.slice("_h1", 2, L2),
+            lambda a, b: F.xxhash64(a, b),
+        ).alias("_h2"),
+    )
+    if tri:
+        L3 = F.greatest(F.col("_nw") - 2, F.lit(0))
+        d = d.select(
+            *cols, "_nw", "_h1", "_h2",
+            F.zip_with(
+                F.slice("_h2", 1, L3), F.slice("_h1", 3, L3),
+                lambda a, b: F.xxhash64(a, b),
+            ).alias("_h3"),
+        )
+    return d
 
 
 def bigram_lm_scores(
@@ -77,36 +104,32 @@ def bigram_lm_scores(
 ) -> DataFrame:
     """Per-document add-one bigram cross-entropy under an LM fit on
     `lm_docs` (default: `docs` itself). See module docstring."""
-    if lm_docs is None:
-        lm_docs = docs
+    self_lm = lm_docs is None
+    # ONE tokenizer pass: the hashed-gram arrays are persisted (2 longs per
+    # token, disk-backed) and every consumer — unigram/bigram count tables,
+    # V, the scoring stream — reads the cache. The round-6 form re-ran the
+    # tokenize + gram chain per consumer (3 full passes for self-scoring).
+    dh = _hashed_grams(docs, text_col, id_col).persist()
+    lmh = dh if self_lm else _hashed_grams(lm_docs, text_col).persist()
 
-    lm_toks = lm_docs.select(
-        F.explode(F.transform(_tokens(F.col(text_col)), lambda t: F.xxhash64(t))).alias(
-            "h1"
-        )
+    uni = lmh.select(F.explode("_h1").alias("h1")).groupBy("h1").agg(
+        F.count("*").alias("c1")
     )
-    uni = lm_toks.groupBy("h1").agg(F.count("*").alias("c1"))
     uni = uni.persist()
     vocab = uni.count()  # exact V; model-sized job on the cached table
 
-    lm_bis = lm_docs.select(
-        F.explode(
-            F.transform(_bigram_strings(F.col(text_col)), lambda g: F.xxhash64(g))
-        ).alias("h2")
+    big = lmh.select(F.explode("_h2").alias("h2")).groupBy("h2").agg(
+        F.count("*").alias("c2")
     )
-    big = lm_bis.groupBy("h2").agg(F.count("*").alias("c2"))
 
-    w = _tokens(F.col(text_col))
-    L = F.greatest(F.size(w) - 1, F.lit(0))
-    stream = docs.select(
+    stream = dh.select(
         F.col(id_col),
-        F.posexplode(
+        F.explode(
             F.arrays_zip(
-                F.transform(_bigram_strings(F.col(text_col)), lambda g: F.xxhash64(g))
-                .alias("h2"),
-                F.transform(F.slice(w, 1, L), lambda t: F.xxhash64(t)).alias("h1"),
+                F.col("_h2").alias("h2"),
+                F.slice("_h1", 1, F.size("_h2")).alias("h1"),
             )
-        ).alias("pos", "z"),
+        ).alias("z"),
     ).select(id_col, F.col("z.h2").alias("h2"), F.col("z.h1").alias("h1"))
 
     # unseen words/bigrams (lm_docs != docs) smooth to c = 0
@@ -182,61 +205,40 @@ def trigram_backoff_scores(
     table-side context joins cost more than the two stream joins they
     remove. Revisit only with a measured high-reuse corpus.
     """
-    if lm_docs is None:
-        lm_docs = docs
+    self_lm = lm_docs is None
     if not 0.0 < alpha < 1.0:
         raise ValueError(f"alpha must be in (0, 1), got {alpha}")
 
-    def grams(text_col_):
-        w = _tokens(text_col_)
-        L2 = F.greatest(F.size(w) - 1, F.lit(0))
-        g2 = F.zip_with(
-            F.slice(w, 1, L2),
-            F.slice(w, 2, L2),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-        L3 = F.greatest(F.size(w) - 2, F.lit(0))
-        g3 = F.zip_with(
-            F.slice(g2, 1, L3),
-            F.slice(w, 3, L3),
-            lambda a, b: F.concat_ws(" ", a, b),
-        )
-        return w, g2, g3
+    # ONE tokenizer pass (see bigram_lm_scores): persisted hashed-gram
+    # arrays feed all three count tables, V, T AND the scoring stream —
+    # the round-6 form ran the tokenize + gram chain five times.
+    dh = _hashed_grams(docs, text_col, id_col, tri=True).persist()
+    lmh = dh if self_lm else _hashed_grams(lm_docs, text_col, tri=True).persist()
 
-    lw, lg2, lg3 = grams(F.col(text_col))
-
-    def counts(arr, name):
+    def counts(col, name):
         return (
-            lm_docs.select(
-                F.explode(F.transform(arr, lambda g: F.xxhash64(g))).alias("h")
-            )
+            lmh.select(F.explode(col).alias("h"))
             .groupBy("h")
             .agg(F.count("*").alias(name))
         )
 
-    uni = counts(lw, "c1").persist()
+    uni = counts("_h1", "c1").persist()
     vocab = uni.count()
-    total = lm_docs.select(
-        F.sum(F.size(_tokens(F.col(text_col)))).alias("t")
-    ).collect()[0]["t"] or 0
+    total = lmh.select(F.sum("_nw").alias("t")).collect()[0]["t"] or 0
 
-    big = counts(lg2, "c2")
-    tri = counts(lg3, "c3")
+    big = counts("_h2", "c2")
+    tri = counts("_h3", "c3")
 
-    w, g2, g3 = grams(F.col(text_col))
-    L3 = F.greatest(F.size(w) - 2, F.lit(0))
-    h1a = F.transform(w, lambda t: F.xxhash64(t))
-    h2a = F.transform(g2, lambda g: F.xxhash64(g))
-    h3a = F.transform(g3, lambda g: F.xxhash64(g))
-    stream = docs.select(
+    L3 = F.size("_h3")
+    stream = dh.select(
         F.col(id_col),
         F.explode(
             F.arrays_zip(
-                F.slice(h3a, 1, L3).alias("h3"),
-                F.slice(h2a, 2, L3).alias("h2"),
-                F.slice(h2a, 1, L3).alias("h2p"),
-                F.slice(h1a, 3, L3).alias("h1"),
-                F.slice(h1a, 2, L3).alias("h1p"),
+                F.col("_h3").alias("h3"),
+                F.slice("_h2", 2, L3).alias("h2"),
+                F.slice("_h2", 1, L3).alias("h2p"),
+                F.slice("_h1", 3, L3).alias("h1"),
+                F.slice("_h1", 2, L3).alias("h1p"),
             )
         ).alias("z"),
     ).select(id_col, "z.h3", "z.h2", "z.h2p", "z.h1", "z.h1p")

@@ -25,27 +25,37 @@ def _lang_rows() -> list[tuple[str, str]]:
 
 def langid(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """n-gram/stopword heuristic language ID: distinct words matched against
-    each language's stopword list (broadcast join — no giant literal arrays in
-    the plan); argmax with (en, es, pt) tie order, 'und' when nothing matches."""
+    each language's stopword list; argmax with (en, es, pt) tie order, 'und'
+    when nothing matches.
+
+    Plan shape (round 7): fully ROW-LOCAL — the three stopword lists ride
+    in as array columns of a broadcast ONE-ROW table (no giant literal
+    arrays bloating the serialized plan, same concern as before) and the
+    per-doc hit counts are size(array_intersect(distinct_words, lang_set)).
+    The round-6 explode → join → groupBy → join-back form shuffled every
+    distinct word of the corpus to count hits; this shuffles nothing."""
+    from ..util import local_df
+
     spark = docs.sparkSession
-    stop_df = F.broadcast(spark.createDataFrame(_lang_rows(), "w string, lang string"))
-    words = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), " +"))).alias("w"),
-    )
-    hits = (
-        words.join(stop_df, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("en_hits"),
-            F.sum(F.when(F.col("lang") == "es", 1).otherwise(0)).alias("es_hits"),
-            F.sum(F.when(F.col("lang") == "pt", 1).otherwise(0)).alias("pt_hits"),
+    sets: dict[str, list[str]] = {"en": [], "es": [], "pt": []}
+    for w, lang in _lang_rows():
+        sets[lang].append(w)
+    stop_row = F.broadcast(
+        local_df(
+            spark,
+            [(sets["en"], sets["es"], sets["pt"])],
+            "_en array<string>, _es array<string>, _pt array<string>",
         )
     )
-    d = (
-        docs.select("doc_id")
-        .join(hits, "doc_id", "left")
-        .fillna(0, ["en_hits", "es_hits", "pt_hits"])
+    dw = F.array_distinct(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), " +")
+    )
+    d = docs.select("doc_id", dw.alias("_dw")).crossJoin(stop_row)
+    d = d.select(
+        "doc_id",
+        F.size(F.array_intersect("_dw", "_en")).cast("long").alias("en_hits"),
+        F.size(F.array_intersect("_dw", "_es")).cast("long").alias("es_hits"),
+        F.size(F.array_intersect("_dw", "_pt")).cast("long").alias("pt_hits"),
     )
     best = F.greatest("en_hits", "es_hits", "pt_hits")
     pred = (
@@ -61,14 +71,19 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic doc-quality features + combined score:
     length, word count, mean word length, stopword ratio, digit ratio.
 
-    Stopword matching uses the same broadcast-join pattern as langid (a
-    ~570-element literal array in the plan bloats every task's serialized
-    plan; a broadcast dim table does not)."""
+    Stopword matching (round 7): row-local size(array_intersect) against
+    the stopword list riding in as an array column of a broadcast one-row
+    table (no ~570-element literal array bloating every task's serialized
+    plan, and — unlike the round-6 explode → join → groupBy → join-back —
+    no shuffle of the corpus's distinct words at all)."""
+    from ..util import local_df
+
     spark = docs.sparkSession
-    stop_df = F.broadcast(
-        spark.createDataFrame(
-            [(w,) for w in sorted(x for x in ENGLISH if " " not in x and x.isascii())],
-            "w string",
+    stop_row = F.broadcast(
+        local_df(
+            spark,
+            [(sorted(x for x in ENGLISH if " " not in x and x.isascii()),)],
+            "_stop array<string>",
         )
     )
     words = F.split(F.trim(F.col(text_col)), " +")
@@ -79,15 +94,16 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.length(text_col).cast("long").alias("n_chars_c"),
         F.size(words).cast("long").alias("n_words"),
     )
-    n_stop = (
-        base.select("doc_id", F.explode("_dw").alias("w"))
-        .join(stop_df, "w")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("_n_stop"))
-    )
     d = (
-        base.join(n_stop, "doc_id", "left")
-        .fillna(0, ["_n_stop"])
+        base.crossJoin(stop_row)
+        .withColumn(
+            # greatest(…, 0): size() is -1 on a null array (null text_col);
+            # the old join-based count reported 0 there
+            "_n_stop",
+            F.greatest(
+                F.size(F.array_intersect("_dw", "_stop")), F.lit(0)
+            ).cast("long"),
+        )
         .withColumn(
             "stop_ratio_e6",
             F.round(
@@ -150,28 +166,42 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     words = F.filter(F.split(F.lower(t), "[ \n]+"), lambda w: F.length(w) > 0)
     base = docs.select("doc_id", lines.alias("_ls"), words.alias("_w"))
+    # gram identity = pairwise xxhash64 over the PER-TOKEN hashes (round 7):
+    # the n-gram text is never needed (only frequency ratios leave this
+    # operator), so building n·wordlen-byte strings per window just to hash
+    # them was pure cost. The token array and its hash array are real
+    # projection steps so the tokenizer runs once, not once per slice
+    # operand. Same 2⁻⁶⁴ same-doc collision caveat as before.
+    hbase = base.select(
+        "doc_id",
+        F.size("_w").alias("_nw"),
+        F.transform("_w", lambda x: F.xxhash64(x)).alias("_th"),
+    )
 
-    def grams(n: int):
-        w = F.col("_w")
+    def gram_ids(n: int):
+        th = F.col("_th")
         if n == 1:
-            return w
-        parts = [F.slice(w, i + 1, F.size(w) - (n - 1)) for i in range(n)]
+            return th
+        win_len = F.greatest(F.col("_nw") - (n - 1), F.lit(0))
+        parts = [F.slice(th, i + 1, win_len) for i in range(n)]
         g = parts[0]
         for p in parts[1:]:
-            g = F.zip_with(g, p, lambda a, b: F.concat_ws(" ", a, b))
-        return F.when(F.size(w) >= n, g).otherwise(F.array().cast("array<string>"))
+            g = F.zip_with(g, p, lambda a, b: F.xxhash64(a, b))
+        return g
 
     def tag(n: int):
         # NOT a two-arg lambda with a default: F.transform hands a 2-arg
         # callable (element, index) — a `lambda x, n=n:` would silently
         # receive the array INDEX as n.
         def f(x):
-            return F.struct(F.lit(n).alias("n"), F.xxhash64(x).alias("g"))
+            return F.struct(F.lit(n).alias("n"), x.alias("g"))
 
         return f
 
-    tagged = F.flatten(F.array(*[F.transform(grams(n), tag(n)) for n in (1, 2, 3)]))
-    ex = base.select("doc_id", F.explode(tagged).alias("t")).select(
+    tagged = F.flatten(
+        F.array(*[F.transform(gram_ids(n), tag(n)) for n in (1, 2, 3)])
+    )
+    ex = hbase.select("doc_id", F.explode(tagged).alias("t")).select(
         "doc_id", "t.n", "t.g"
     )
     per_n = (
@@ -396,7 +426,12 @@ def top_ngrams(
     hashed = docs.select(
         F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("g")
     )
-    cnt = hashed.groupBy("g").agg(F.count("*").alias("cnt"))
+    # persist: the hashed count table feeds the k-th-count driver action AND
+    # the candidate filter — unpersisted, the gram explode + exchange ran
+    # twice (actions cannot share shuffles). The table is distinct-gram-sized
+    # bare longs, disk-backed; at any scale that is cheaper than a second
+    # full text pass. ContextCleaner releases it with the result.
+    cnt = hashed.groupBy("g").agg(F.count("*").alias("cnt")).persist()
     kth = cnt.orderBy(F.desc("cnt")).limit(k).agg(F.min("cnt")).collect()[0][0]
     if kth is None:
         return docs.sparkSession.createDataFrame([], "gram string, cnt long")
@@ -470,7 +505,9 @@ def top_ngrams_approx(
     sampled = occ.filter(
         uniform32_col(key, seed) < int(round(p * 2**32))
     ).select(F.xxhash64("gram").alias("g"))
-    scnt = sampled.groupBy("g").agg(F.count("*").alias("cnt"))
+    # persist: feeds the boundary action AND the candidate filter (see
+    # top_ngrams); sample-count-sized bare longs
+    scnt = sampled.groupBy("g").agg(F.count("*").alias("cnt")).persist()
     boundary = (
         scnt.orderBy(F.desc("cnt"))
         .limit(cand_factor * k)
