@@ -19,7 +19,7 @@ from .functions.tokenize import tokenize as tokenize_udf
 from .oracle import sqlgen
 from .oracle.refsearch import get_min_ngrams
 from .textnorm import query_rerank_tokens, query_terms
-from .util import spread_input
+from .util import read_spread
 
 BM25_QUERY = "key value table scan merge batch"
 _BM25_WEIGHTS = query_terms(BM25_QUERY)
@@ -40,7 +40,7 @@ def _toks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread the single-file scan so the tokenizer UDF stage runs on every
     # core, not one (scale-adaptive no-op on a wide scan; see util.spread_input)
     return (
-        spread_input(_docs(spark, sf_dir))
+        read_spread(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id", F.explode(tokenize_udf(F.col("text"))).alias("term"))
     )
 
@@ -70,7 +70,7 @@ ORDER BY df DESC, term ASC LIMIT 100
 
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        spread_input(_docs(spark, sf_dir))
+        read_spread(spark, f"{sf_dir}/documents.parquet")
         .select("doc_id", F.size(tokenize_udf(F.col("text"))).cast("long").alias("dl"))
         .withColumn("dlq", quantize_dl_col(F.col("dl")))
     )
@@ -118,10 +118,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = stats.agg(
         F.count("*").alias("n_docs"), (F.sum("dl") / F.count("*")).alias("avgdl")
     )
+    from .util import local_df
+
     qterms = F.broadcast(
-        spark.createDataFrame(
-            sorted(_BM25_WEIGHTS.items()), "term string, w int"
-        )
+        local_df(spark, sorted(_BM25_WEIGHTS.items()), "term string, w int")
     )
     dfs = toks.groupBy("term").agg(F.count("*").alias("df"))
     q_idf = (
@@ -208,7 +208,7 @@ def q_adhoc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents has no update_date → tiebreak pinned to doc_id asc."""
     pool = 150 * 10
     cands = _scored(spark, sf_dir).orderBy(F.desc("score"), F.asc("doc_id")).limit(pool)
-    docs = spread_input(_docs(spark, sf_dir)).select(
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").select(
         "doc_id", rerank_tokens_udf(F.col("text")).alias("rr")
     )
     return (
@@ -300,7 +300,7 @@ GROUP BY event_type
 
 def q_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
-        spread_input(_docs(spark, sf_dir))
+        read_spread(spark, f"{sf_dir}/documents.parquet")
         .select("lang", F.explode(tokenize_udf(F.col("text"))).alias("term"))
         .groupBy("lang", "term")
         .agg(F.count("*").alias("cnt"))

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 from .operators import ann, dedup, multimodal, textstats
 from .oracle import sqlgen
-from .util import spread_input
+from .util import read_spread
 
 # ------------------------------------------------------------ 11. exact dedup
 
@@ -34,7 +34,7 @@ FROM g
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return dedup.minhash_lsh_pairs(docs, estimate_jaccard=True).orderBy(
         "doc_a", "doc_b"
     )
@@ -118,7 +118,7 @@ def q_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_incremental.py:pairs_against."""
     from .operators import dedup_incremental as inc
 
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return inc.pairs_against(batch, inc.signatures_for(corpus)).orderBy(
@@ -167,7 +167,7 @@ SQL_MINHASH_INCREMENTAL = _sql_minhash_incremental()
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return dedup.simhash32(docs).orderBy("doc_id")
 
 
@@ -215,7 +215,7 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice — the word-soup bench corpus collides simhashes heavily, so the
     500-doc slice keeps the oracle's O(n²) check and the result set bounded
     (same slicing convention as embed_near_dups)."""
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=32).orderBy(
@@ -235,7 +235,7 @@ def q_simhash64_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit banded Hamming-pair join (the ≥10^5-doc variant — 16-bit band
     keys; see operators/dedup.simhash64). Same pigeonhole-exact recall
     contract as the 32-bit pair, verified against a brute-force oracle."""
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
     return dedup.simhash_near_dup_pairs(docs, max_hamming=3, bits=64).orderBy(
@@ -304,7 +304,7 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets larger than the cap, i.e. exactly what simhash_near_dup_pairs
     would skip. The word-soup corpus mass-collides simhashes, so a small
     cap on the 500-doc slice yields a non-trivial, bounded audit set."""
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet")).filter(
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet").filter(
         F.col("doc_id") < 500
     )
     return dedup.simhash_oversized_buckets(
@@ -345,7 +345,7 @@ _PROBE_LIST = ", ".join(str(p) for p in _PROBE_IDS)
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return dedup.ngram_jaccard_pairs(docs, _PROBE_IDS, threshold=0.05).orderBy(
         "probe_id", "doc_id"
     )
@@ -542,7 +542,7 @@ def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SF (same bounded-probe pattern as ngram_jaccard); the unbounded corpus
     path is the LSH variant, ann.embedding_near_dup_pairs, pytest-verified
     against this exact operator."""
-    emb = spread_input(spark.read.parquet(f"{sf_dir}/embeddings.parquet")).filter(
+    emb = read_spread(spark, f"{sf_dir}/embeddings.parquet").filter(
         F.col("vec_id") < _NEAR_DUP_SLICE
     )
     return ann.embedding_near_dup_pairs_exact(emb, threshold=0.4).orderBy(
@@ -584,7 +584,7 @@ def q_ngram_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.ngram_text import ngram_text_col
 
     # row-local transform: parallelism = input partitions (see q_fingerprint)
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return ngram_text_col(docs, num_tokens=_NGT_TOKENS).select(
         "doc_id", "ngram_text"
     ).orderBy("doc_id")
@@ -619,7 +619,7 @@ ORDER BY d.doc_id
 
 
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     out = textstats.langid(docs)
     return out.select(
         "doc_id",
@@ -670,7 +670,7 @@ SQL_LANGID = _sql_langid()
 
 
 def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.quality_score(docs)
 
 
@@ -719,7 +719,7 @@ FROM documents
 
 
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.repetition_stats(docs)
 
 
@@ -792,7 +792,7 @@ FROM tc GROUP BY bucket ORDER BY bucket
 
 
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.filter_documents(docs)
 
 
@@ -831,7 +831,7 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is row-local by design (no shuffle of its own), so compute parallelism
     # equals input-partition count; a real multi-file table scans wide and
     # skips the exchange (util.spread_input)
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.fingerprint(docs).orderBy("doc_id")
 
 
@@ -915,7 +915,7 @@ def q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-20 trigrams (boilerplate discovery) — two-phase
     hashed heavy hitters; final (cnt DESC, gram ASC) order is total, so
     the LIMIT cut is cross-engine deterministic."""
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.top_ngrams(docs, n=3, k=20)
 
 
@@ -945,7 +945,7 @@ def q_top_ngrams_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention DuckDB replays digit-by-digit), phase 2 exact-counts the
     candidates. Reported counts are exact; candidate selection is the
     only approximation."""
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return textstats.top_ngrams_approx(docs, n=3, k=20, p=0.2)
 
 
@@ -1023,7 +1023,7 @@ def q_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     an integer sum (order-independent, cross-engine exact)."""
     from similardocs_spark.operators.lm import bigram_lm_scores
 
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return bigram_lm_scores(docs).orderBy("doc_id")
 
 
@@ -1067,7 +1067,7 @@ def q_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     disjoint reference corpus; here the oracle replays the full CASE."""
     from similardocs_spark.operators.lm import trigram_backoff_scores
 
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return trigram_backoff_scores(docs).orderBy("doc_id")
 
 
@@ -1150,7 +1150,7 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the same set."""
     from .operators import decontam
 
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     toks = F.filter(
         F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[ \n]+"),
         lambda x: F.length(x) > 0,
@@ -1448,7 +1448,7 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread the (single-file at test SF) input: the window projection is
     # row-local; compute parallelism = input partitions (see q_fingerprint)
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return duplicate_spans(docs, n=20)
 
 
@@ -1502,7 +1502,7 @@ def q_strip_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # spread the single-file input (row-local window projection; see
     # q_fingerprint for the rationale)
-    docs = spread_input(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    docs = read_spread(spark, f"{sf_dir}/documents.parquet")
     return strip_duplicate_spans(docs, n=20)
 
 

@@ -221,9 +221,12 @@ def assign_doc_ids(docs: DataFrame, partitions: int | None = None) -> DataFrame:
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
+    from ..util import local_df
+
     offsets_df = F.broadcast(
-        docs.sparkSession.createDataFrame(
-            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        local_df(
+            docs.sparkSession,
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long",
         )
     )
     w = Window.partitionBy("_pid").orderBy("conv_id")

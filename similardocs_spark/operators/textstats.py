@@ -434,7 +434,9 @@ def top_ngrams(
     cnt = hashed.groupBy("g").agg(F.count("*").alias("cnt")).persist()
     kth = cnt.orderBy(F.desc("cnt")).limit(k).agg(F.min("cnt")).collect()[0][0]
     if kth is None:
-        return docs.sparkSession.createDataFrame([], "gram string, cnt long")
+        from ..util import local_df
+
+        return local_df(docs.sparkSession, [], "gram string, cnt long")
     cand = cnt.filter(F.col("cnt") >= kth).select("g")
     with_text = docs.select(F.explode(grams).alias("gram")).withColumn(
         "g", F.xxhash64("gram")
@@ -515,7 +517,9 @@ def top_ngrams_approx(
         .collect()[0][0]
     )
     if boundary is None:
-        return docs.sparkSession.createDataFrame([], "gram string, cnt long")
+        from ..util import local_df
+
+        return local_df(docs.sparkSession, [], "gram string, cnt long")
     cand = scnt.filter(F.col("cnt") >= boundary).select("g")
     with_text = docs.select(F.explode(grams).alias("gram")).withColumn(
         "g", F.xxhash64("gram")

@@ -78,6 +78,27 @@ def spread_input(df: DataFrame) -> DataFrame:
     return df
 
 
+# (context-id, path, parallelism) → spread decision. The probe costs ~0.1 s
+# of driver planning per call; the answer is stable for a given file set
+# within a session, and the driver/bench harnesses re-read the same paths
+# dozens of times per session.
+_SPREAD_CACHE: dict = {}
+
+
+def read_spread(spark: SparkSession, path: str) -> DataFrame:
+    """spark.read.parquet(path) + scale-adaptive spread (see spread_input),
+    with the partition-count probe memoized per (context, path)."""
+    sc = spark.sparkContext
+    target = sc.defaultParallelism
+    key = (id(sc), path, target)
+    df = spark.read.parquet(path)
+    dec = _SPREAD_CACHE.get(key)
+    if dec is None:
+        dec = df.rdd.getNumPartitions() < target
+        _SPREAD_CACHE[key] = dec
+    return df.repartition(target) if dec else df
+
+
 ISIN_MAX_LITERALS = 128
 
 
