@@ -48,17 +48,18 @@ Scale shape (the reason this is an operator, not a notebook query):
 
 Measured at 309k seeded docs, n=20, local[32] (CORPUS_OPS_SCALE.json —
 3000 planted exact twins all at exactly full coverage, 6000 near twins
-all flagged, identical outputs from both strategies):
-
-    broadcast=True   277 s, 637 MB shuffle  (window zip-chain runs twice)
-    broadcast=False  220 s, 1701 MB shuffle (ReusedExchange shares the
-                     one (doc_id, pos, h) exchange between the frequency
-                     agg and the attribution probe, so the chain runs
-                     once — wall wins single-node, 2.7× the bytes)
+all flagged, identical outputs from both strategies). Round-6 numbers
+(window ids = xxhash64 of concatenated strings, chain re-evaluated per
+consumer): broadcast 277 s / 637 MB shuffle, shuffle-join 220 s /
+1701 MB. Round 7 rebuilt the projection — tokens hashed once per row,
+window ids combined pairwise over longs, the compact (doc_id, n_tokens,
+window-ids) rows persisted on the broadcast path so the chain runs ONCE
+— see CORPUS_OPS_SCALE.json for the re-measured walls (broadcast now
+beats the shuffle-join strategy while keeping its ~2.7× smaller
+exchange).
 
 The default stays `broadcast=True`: at cluster scale network bytes are
 the budget and document rows should never shuffle; flip it when the
-row-local window construction dominates (few fat nodes) or when the
 duplicated-hash set itself is too large to broadcast.
 
 Reference parity: the reference engine has no substring-level dedup —

@@ -256,10 +256,13 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + BPE-ish regex tokens per doc (training-data token
     accounting)."""
+    # regexp_count, not size(regexp_extract_all(...)): the count never
+    # needs the matched token strings materialized as an array per row
+    # (measured 21→? s on mixture_summary's identical pattern at 309k)
     return docs.select(
         "doc_id",
         F.size(F.split(F.trim(F.col(text_col)), " +")).cast("long").alias("ws_tokens"),
-        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0))
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN))
         .cast("long")
         .alias("bpe_tokens"),
     )
@@ -422,6 +425,12 @@ def top_ngrams(
 
     Output: (gram, cnt), k rows (fewer if the corpus has fewer grams).
     """
+    # NOTE (round 7): a pairwise-token-hash phase-1 identity (the
+    # spandedup/repetition trick) was measured SLOWER here at 309k docs
+    # (67.8 s vs 41.4 s): splitting the fused gram expression into stacked
+    # projections materializes the full token/hash arrays between steps,
+    # and that copying outweighs the string construction it saves when the
+    # chain is only evaluated once per phase. The fused string form stays.
     grams = _word_grams(F.col(text_col), n)
     hashed = docs.select(
         F.explode(F.transform(grams, lambda g: F.xxhash64(g))).alias("g")
@@ -549,12 +558,9 @@ def mixture_summary(
     stratum table; a 100-TB corpus can have millions of strata)."""
     tc = docs.select(
         *by,
-        F.size(
-            F.regexp_extract_all(
-                F.lower(F.coalesce(F.col(text_col), F.lit(""))),
-                F.lit(TOKEN_PATTERN),
-                0,
-            )
+        F.regexp_count(
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))),
+            F.lit(TOKEN_PATTERN),
         )
         .cast("long")
         .alias("_toks"),
