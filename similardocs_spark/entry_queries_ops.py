@@ -457,6 +457,9 @@ assign AS (
 
 def q_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialize-me-partitioned-by-cid inverted-list table."""
+    # NOT spread: measured A/B at sf0.1 — the centroid-sample job and the
+    # assignment are too small for the extra exchange to pay (plain 1.7-2.4s
+    # vs spread 2.0-3.4s interleaved)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.ivf_assignments(emb, n_centroids=_IVF_NC)
 
@@ -473,6 +476,7 @@ FROM embeddings e LEFT JOIN assign a USING (vec_id)
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # not spread — same A/B as q_ivf_assign
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return ann.ivf_cosine_topk(
         emb, _probe_vec(sf_dir), k=10, n_centroids=_IVF_NC, n_probe=_IVF_NPROBE
