@@ -133,7 +133,7 @@ def quantize_dl_col(dl):
     exact bit-length via length(bin(v)), down-round by masking the low
     shift bits (v − v mod 2^shift; 2^shift is exact in double far past any
     doc length). Replaces a pandas-UDF hop with codegen arithmetic (guide
-    §4.1); parity with quantize_dl_np pinned by test_sortbuild."""
+    §4.1); parity with quantize_dl pinned by test_r07_optimizations."""
     v = dl - F.lit(bm25._NUM_FREE_VALUES)
     shift = F.greatest(F.length(F.bin(v)) - F.lit(4), F.lit(0))
     p2 = F.pow(F.lit(2.0), shift).cast("long")
