@@ -392,9 +392,16 @@ def _build_index_impl(
             )
         t0 = _t("meta stats", t0)
 
+    # generic-path doc_ids are the dense rank 0..n_docs-1 by construction,
+    # so the segment list is arithmetic — skip build_postings' distinct-seg
+    # discovery job. doc_id_expr ids are contract-dense but not provably
+    # 0-based; that path (and standalone/resume calls) keeps the discovery.
+    segs_hint = None
+    if not done_docs and doc_id_expr is None:
+        segs_hint = list(range((n_docs + seg_size - 1) // seg_size))
     build_postings(
         spark, paths, seg_size=seg_size, seg_batches=seg_batches, resume=resume,
-        lineage_counts=lineage_counts,
+        lineage_counts=lineage_counts, segs=segs_hint,
     )
     t0 = _t("postings", t0)
     build_terms(spark, paths)
@@ -411,10 +418,13 @@ def build_postings(
     max_batches: int | None = None,
     docs_df: DataFrame | None = None,
     lineage_counts: bool = True,
+    segs: list[int] | None = None,
 ) -> None:
     """Postings per (seg, term): docID-sorted, delta+FOR-compressed, with
     block-max metadata. Committed in seg batches (resume skips done ones).
-    `docs_df` (e.g. the build's cached docs) avoids the parquet re-read."""
+    `docs_df` (e.g. the build's cached docs) avoids the parquet re-read.
+    `segs` (trusted caller knowledge, e.g. dense-rank builds) skips the
+    distinct-seg discovery job."""
     from .catalog import get_io_for_index
 
     io = get_io_for_index(spark, paths)
@@ -423,7 +433,12 @@ def build_postings(
         if docs_df is not None
         else io.read(spark, paths.docs).withColumn("seg", F.col("seg").cast("long"))
     )
-    segs = sorted(int(r["seg"]) for r in docs.select("seg").distinct().collect())
+    if segs is None:
+        segs = sorted(
+            int(r["seg"]) for r in docs.select("seg").distinct().collect()
+        )
+    else:
+        segs = sorted(int(s) for s in segs)
     batches = [segs[i::seg_batches] for i in range(seg_batches)]
     done: set[int] = set()
     if resume:
