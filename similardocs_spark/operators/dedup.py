@@ -96,7 +96,14 @@ MAX_BUCKET = 2000  # LSH bucket-size ceiling (pair join is O(|bucket|²))
 
 def exact_representatives(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """One representative row (min doc_id) per exact-text group — the
-    prepass that keeps identical texts out of any pair join."""
+    prepass that keeps identical texts out of any pair join.
+
+    Deliberately groupBy + join-back, NOT a window min (round-7 A/B was a
+    wash locally, but the shapes diverge exactly in this operator's
+    degenerate case): a window over the text hash concentrates a
+    mass-duplicated boilerplate group on ONE task (partition sort + scan),
+    while here the narrow agg takes partial map-side mins and the
+    join key (_th, doc_id) SPREADS the duplicate group across reducers."""
     wh = docs.withColumn("_th", F.md5(F.col(text_col)))
     keep = wh.groupBy("_th").agg(F.min("doc_id").alias("doc_id"))
     return wh.join(keep, ["_th", "doc_id"]).drop("_th")
