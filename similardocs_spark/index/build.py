@@ -45,8 +45,6 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .. import bm25
-from ..functions.tokenize import rerank_tokens as rerank_tokens_udf
-from ..functions.tokenize import tokenize as tokenize_udf
 from ..functions.tokenize import tokenize_with_rerank as tokenize_both_udf
 from . import codec
 
